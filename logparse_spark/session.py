@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the pipeline.
+
+Scale notes (100 TB / 1000 executors): every config here is either
+cluster-neutral (AQE, Arrow, UTC) or derived from core count at runtime.
+Nothing hard-codes local-mode assumptions except the ``master`` default,
+which spark-submit overrides.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "logparse-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the pipeline's standard confs.
+
+    - AQE on (runtime shuffle coalesce + skew-join split: half of the
+      skew story, see operators/skew.py for the salted other half).
+    - Arrow on with a bounded batch size so the mapInPandas parse stage
+      streams fixed-size batches instead of whole partitions.
+    - Session timezone pinned UTC: fixture timestamps are naive UTC and
+      the DuckDB oracle compares naive values.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = os.environ.get("SPARK_MASTER", f"local[{cores}]" if cores else "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = cores if cores else (os.cpu_count() or 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # parquet scan granularity: at 100 TB this keeps ~128MB splits;
+        # harmless at test scale.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,216 @@
+"""Deterministic synthetic `sequences` corpus (FIXTURES.md §1/§2 spec).
+
+Input shape is BINDING (BASELINE.json input_hint):
+    sequences(doc_id: string, tokens: array<int32>, n_tok: int32, source: string)
+
+Properties:
+- fully deterministic per (seed, row_id) — independent of partitioning,
+  so the same corpus regenerates identically at any parallelism;
+- zipf-skewed (s=1.2) source distribution so hot-source salting (P7) is
+  actually exercised;
+- 70% Cassandra 2.0 header format / 30% 2.1 format; 2% continuation
+  blocks (exceptions always get one); 3% unknown-class rows that must
+  route to the `unknown` sink;
+- generated DISTRIBUTED: ``spark.range(n).mapInPandas`` — no driver-side
+  materialization, so the generator itself scales to arbitrary n.
+
+Per-row Python here is fine — this is test datagen, not the engine.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEQUENCES_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+N_SOURCES = 50
+ZIPF_S = 1.2
+BASE_TS = datetime(2015, 3, 30, 0, 0, 0)
+
+_KEYSPACES = ["ks1", "system", "metrics", "userdata"]
+_TABLES = ["t1", "events", "sstable_activity", "compactions_in_progress", "peers"]
+_POOLS = ["ReadStage", "MutationStage", "FlushWriter", "GossipStage", "CompactionExecutor"]
+_CACHES = ["KeyCache", "RowCache", "CounterCache"]
+_MSG_TYPES = ["MUTATION", "READ", "READ_REPAIR", "REQUEST_RESPONSE"]
+_GC_TYPES = ["ParNew", "ConcurrentMarkSweep"]
+_VERSIONS = ["2.0.12", "2.0.14", "2.1.13"]
+_UNKNOWN_CLASSES = ["FooBarService", "QuantumFlux", "MysteryModule"]
+
+# zipf CDF over sources (hot node-000 dominates)
+_zw = 1.0 / np.arange(1, N_SOURCES + 1) ** ZIPF_S
+_ZIPF_CDF = np.cumsum(_zw / _zw.sum())
+
+
+def _ip(r: random.Random) -> str:
+    return f"10.{r.randint(0, 3)}.{r.randint(0, 9)}.{r.randint(1, 254)}"
+
+
+def _sstable(r: random.Random) -> str:
+    ks, t = r.choice(_KEYSPACES), r.choice(_TABLES)
+    return f"/data/{ks}/{t}/{ks}-{t}-jb-{r.randint(1, 999)}"
+
+
+# (weight, emitting class, thread pool, level policy, message_fn)
+# Templates MUST stay in lockstep with rulebook.RULES regexes.
+def _templates():
+    return [
+        (0.18, "GCInspector", "ScheduledTasks:1", None, lambda r: (
+            f"GC for {r.choice(_GC_TYPES)}: {r.randint(50, 900)} ms for "
+            f"{r.randint(1, 3)} collections, {r.randint(10**8, 8 * 10**9)} used; "
+            f"max is {r.choice([8000634880, 4000317440])}")),
+        (0.05, "GCInspector", "Service Thread", None, lambda r: (
+            f"{r.choice(_GC_TYPES)} GC in {r.randint(100, 600)}ms.  CMS Old Gen: "
+            f"{r.randint(10**8, 5 * 10**9)} -> {r.randint(10**8, 5 * 10**9)}; "
+            f"Par Eden Space: {r.randint(0, 7 * 10**8)} -> {r.randint(0, 10**6)}")),
+        (0.08, "CompactionTask", "CompactionExecutor:4", None, lambda r: (
+            "Compacting [" + ", ".join(
+                f"SSTableReader(path='{_sstable(r)}-Data.db')"
+                for _ in range(r.randint(2, 4))) + "]")),
+        (0.08, "CompactionTask", "CompactionExecutor:4", None, lambda r: (
+            f"Compacted {r.randint(2, 8)} sstables to [{_sstable(r)},].  "
+            f"{r.randint(10**6, 10**8):,} bytes to {r.randint(10**6, 10**8):,} "
+            f"(~{r.randint(30, 100)}% of original) in {r.randint(1000, 99999):,}ms = "
+            f"{r.uniform(0.5, 40.0):.6f}MB/s.  {r.randint(10**4, 10**6):,} total "
+            f"partitions merged to {r.randint(10**4, 10**6):,}.  "
+            f"Partition merge counts were {{{r.randint(1, 9)}:{r.randint(10, 10**5)}, }}")),
+        (0.07, "ColumnFamilyStore", "FlushWriter:2", None, lambda r: (
+            f"Enqueuing flush of Memtable-{r.choice(_TABLES)}@{r.randint(10**8, 2 * 10**9)}"
+            f"({r.randint(100, 10**7)}/{r.randint(100, 10**7)} serialized/live bytes, "
+            f"{r.randint(1, 10**5)} ops)")),
+        (0.07, "Memtable", "FlushWriter:2", None, lambda r: (
+            f"Writing Memtable-{r.choice(_TABLES)}@{r.randint(10**8, 2 * 10**9)}"
+            f"({r.randint(0, 10**7)}/{r.randint(0, 10**7)} serialized/live bytes, "
+            f"{r.randint(1, 10**5)} ops)")),
+        (0.07, "Memtable", "FlushWriter:2", None, lambda r: (
+            f"Completed flushing {_sstable(r)}-Data.db ({r.randint(42, 10**8)} bytes) "
+            f"for commitlog position ReplayPosition(segmentId={r.randint(10**12, 2 * 10**12)}, "
+            f"position={r.randint(0, 10**7)})")),
+        (0.05, "MessagingService", "ScheduledTasks:1", "WARN", lambda r: (
+            f"{r.randint(1, 5000)} {r.choice(_MSG_TYPES)} messages dropped in last 5000ms")),
+        (0.06, "Gossiper", "GossipStage:1", None, lambda r: (
+            f"InetAddress /{_ip(r)} is now {r.choice(['UP', 'DOWN'])}")),
+        (0.01, "Gossiper", "GossipStage:1", None, lambda r: (
+            f"FatClient /{_ip(r)} has been silent for 30000ms, removing from gossip")),
+        (0.08, "StatusLogger", "ScheduledTasks:1", None, lambda r: (
+            f"{r.choice(_POOLS):<25s}{r.randint(0, 64):>10d}{r.randint(0, 9999):>10d}"
+            f"{r.randint(0, 10**7):>15d}{r.randint(0, 3):>10d}{r.randint(0, 100):>18d}")),
+        (0.02, "StorageService", "main", None, lambda r: (
+            f"Cassandra version: {r.choice(_VERSIONS)}")),
+        (0.02, "CassandraDaemon", "main", None, lambda r: (
+            f"Heap size: {r.randint(10**9, 8 * 10**9)}/8000634880")),
+        (0.01, "CassandraDaemon", "main", None, lambda r: "Logging initialized"),
+        (0.03, "OutboundTcpConnection", "WRITE-/10.1.2.3", None, lambda r: (
+            f"Handshaking version with /{_ip(r)}")),
+        (0.02, "HintedHandOffManager", "HintedHandoff:1", None, lambda r: (
+            f"Finished hinted handoff of {r.randint(1, 99999)} rows to endpoint /{_ip(r)}")),
+        (0.03, "SSTableReader", "main", None, lambda r: (
+            f"Opening {_sstable(r)} ({r.randint(100, 10**9)} bytes)")),
+        (0.01, "CommitLogReplayer", "main", None, lambda r: (
+            f"Replaying /commitlog/CommitLog-3-{r.randint(10**12, 2 * 10**12)}.log")),
+        (0.02, "AutoSavingCache", "CompactionExecutor:2", None, lambda r: (
+            f"Saved {r.choice(_CACHES)} ({r.randint(1, 10**5)} items) in "
+            f"{r.randint(1, 500)} ms")),
+        (0.01, "Server", "main", None, lambda r: (
+            "Starting listening for CQL clients on /0.0.0.0:9042...")),
+        (0.01, "BatchStatement", "Native-Transport-Requests:12", "WARN", lambda r: (
+            (lambda sz, thr: f"Batch of prepared statements for "
+             f"[{r.choice(_KEYSPACES)}.{r.choice(_TABLES)}] is of size {sz}, "
+             f"exceeding specified threshold of {thr} by {sz - thr}.")
+            (r.randint(5200, 99999), 5120))),
+        (0.02, "CassandraDaemon", "ReadStage:32", "ERROR", lambda r: (
+            f"Exception in thread Thread[ReadStage:{r.randint(1, 64)},5,main]")),
+        (0.03, None, "main", None, lambda r: (  # unknown class -> unknown sink
+            f"Some message no rule matches {r.randint(0, 99999)}")),
+    ]
+
+
+_TEMPLATES = _templates()
+_TPL_CDF = np.cumsum(np.array([w for w, *_ in _TEMPLATES]) / sum(w for w, *_ in _TEMPLATES))
+
+
+def make_event(rid: int, seed: int = 42) -> tuple[str, list[int], int, str]:
+    """One deterministic `sequences` row for global row id `rid`."""
+    r = random.Random((seed << 34) ^ (rid * 0x9E3779B9))
+    src_i = int(np.searchsorted(_ZIPF_CDF, r.random(), side="right"))
+    source = f"node-{min(src_i, N_SOURCES - 1):03d}"
+    tpl_i = int(np.searchsorted(_TPL_CDF, r.random(), side="right"))
+    _, cls, thread, level_fixed, msg_fn = _TEMPLATES[min(tpl_i, len(_TEMPLATES) - 1)]
+    if cls is None:
+        cls = r.choice(_UNKNOWN_CLASSES)
+    message = msg_fn(r)
+    if level_fixed:
+        level = level_fixed
+    else:
+        u = r.random()
+        level = "INFO" if u < 0.88 else ("WARN" if u < 0.97 else "ERROR")
+    ts = BASE_TS + timedelta(seconds=rid % (30 * 86400), milliseconds=r.randint(0, 999))
+    date = ts.strftime("%Y-%m-%d %H:%M:%S,") + f"{ts.microsecond // 1000:03d}"
+    line_no = r.randint(40, 999)
+    if r.random() < 0.70:  # Cassandra 2.0 format
+        text = f"{level} [{thread}] {date} {cls}.java (line {line_no}) {message}"
+    else:  # 2.1 format
+        text = f"{level} [{thread}] {date} {cls}.java:{line_no} - {message}"
+    is_exception = message.startswith("Exception in thread")
+    if is_exception or r.random() < 0.02:
+        frames = "\n".join(
+            f"\tat org.apache.cassandra.pkg{r.randint(1, 9)}.Cls{r.randint(1, 99)}"
+            f".method{r.randint(1, 20)}(Cls.java:{r.randint(10, 999)})"
+            for _ in range(r.randint(2, 6)))
+        text += f"\njava.lang.AssertionError: assertion failed {r.randint(0, 999)}\n{frames}"
+    tokens = list(text.encode("utf-8"))
+    return f"{source}-{rid:012d}", tokens, len(tokens), source
+
+
+def generate_pdf(ids, seed: int = 42) -> pd.DataFrame:
+    rows = [make_event(int(i), seed) for i in ids]
+    return pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source"])
+
+
+def generate_sequences(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed generation: deterministic regardless of partitioning."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield generate_pdf(pdf["id"].to_numpy(), seed)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(fn, SEQUENCES_SCHEMA)
+
+
+def write_sequences(
+    spark: SparkSession, path: str, n: int, seed: int = 42,
+    n_buckets: int = 4, partitions: int | None = None,
+) -> None:
+    """Materialize the corpus with the production partition layout
+    (source, bucket(doc_id)) — partition-pruned scans + ledger granularity."""
+    df = generate_sequences(spark, n, seed, partitions)
+    df = df.withColumn("bucket", F.pmod(F.crc32(F.col("doc_id")), F.lit(n_buckets)))
+    df.write.mode("overwrite").partitionBy("source", "bucket").parquet(path)
+
+
+def nodes_dim_pdf(n_sources: int = N_SOURCES, seed: int = 42) -> pd.DataFrame:
+    """Enrich dimension (broadcastable): node -> dc/rack/version/ip."""
+    r = random.Random(seed)
+    rows = [
+        (f"node-{i:03d}", f"dc{i % 3 + 1}", f"r{i % 4 + 1}",
+         r.choice(_VERSIONS), f"10.{i % 4}.{i // 10}.{i % 250 + 1}")
+        for i in range(n_sources)
+    ]
+    return pd.DataFrame(rows, columns=["source", "datacenter", "rack",
+                                       "cassandra_version", "host_ip"])
+
+
+NODES_SCHEMA = "source string, datacenter string, rack string, cassandra_version string, host_ip string"
+
+
+def nodes_dim(spark: SparkSession, n_sources: int = N_SOURCES, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(nodes_dim_pdf(n_sources, seed), schema=NODES_SCHEMA)
