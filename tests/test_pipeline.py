@@ -1,0 +1,99 @@
+"""End-to-end pipeline tests: the binding invariants (BASELINE.json):
+
+- per-row token-array equality on every routed row, every sink;
+- every doc_id lands in exactly one sink (never dropped, never duped);
+- per-sink aggregate counts == the oracle's counts on the same corpus.
+"""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparse_spark.main import run_pipeline
+from logparse_spark.operators.aggregate import rule_histogram, source_level_rollup
+from logparse_spark.operators.route import read_sink
+from logparse_spark.oracle import parse_event
+from logparse_spark.sources.datagen import generate_pdf, generate_sequences
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipeline"))
+    seq = generate_sequences(spark, N, partitions=4)
+    metrics = run_pipeline(spark, seq, out, n_buckets=2)
+    return out, metrics
+
+
+@pytest.fixture(scope="module")
+def oracle_events():
+    pdf = generate_pdf(range(N))
+    return [
+        parse_event(r.doc_id, list(r.tokens), r.source)
+        for r in pdf.itertuples()
+    ]
+
+
+def test_observation_metrics(pipeline_out):
+    _, metrics = pipeline_out
+    assert metrics["routed_rows"] == N
+    assert metrics["unknown_rows"] > 0
+
+
+def test_every_doc_in_exactly_one_sink(spark, pipeline_out):
+    out, _ = pipeline_out
+    routed = read_sink(spark, f"{out}/sinks")
+    assert routed.count() == N
+    assert routed.select("doc_id").distinct().count() == N
+
+
+def test_token_equality_every_routed_row(spark, pipeline_out, oracle_events):
+    """THE binding per-row invariant: tokens bit-identical in every sink."""
+    out, _ = pipeline_out
+    routed = read_sink(spark, f"{out}/sinks").select("doc_id", "tokens", "n_tok", "family").collect()
+    exp = {e["doc_id"]: e for e in oracle_events}
+    for r in routed:
+        e = exp[r["doc_id"]]
+        assert list(r["tokens"]) == e["tokens"], r["doc_id"]
+        assert r["n_tok"] == len(e["tokens"]) == len(r["tokens"])
+        assert r["family"] == e["family"], r["doc_id"]
+
+
+def test_rule_histogram_equals_oracle(spark, pipeline_out, oracle_events):
+    out, _ = pipeline_out
+    routed = read_sink(spark, f"{out}/sinks")
+    got = {(r["family"], r["rule_id"]): r["cnt"] for r in rule_histogram(routed).collect()}
+    want = Counter((e["family"], e["rule_id"]) for e in oracle_events)
+    assert got == dict(want)
+
+
+def test_source_level_rollup_equals_oracle(spark, pipeline_out, oracle_events):
+    out, _ = pipeline_out
+    routed = read_sink(spark, f"{out}/sinks")
+    got = {(r["source"], r["level"]): r["cnt"] for r in source_level_rollup(routed).collect()}
+    want = Counter()
+    for e in oracle_events:
+        want[(e["source"], e["level"])] += 1
+        want[(e["source"], None)] += 1
+        want[(None, None)] += 1
+    assert got == dict(want)
+
+
+def test_enrichment_present(spark, pipeline_out):
+    out, _ = pipeline_out
+    routed = read_sink(spark, f"{out}/sinks")
+    assert routed.where(F.col("datacenter").isNull()).count() == 0
+    assert routed.where(F.col("event_category").isNull()).count() == 0
+    unk = routed.where(F.col("family") == "unknown")
+    assert unk.count() > 0
+    assert unk.where(F.col("event_type") != "unknown").count() == 0
+
+
+def test_fields_map_matches_oracle(spark, pipeline_out, oracle_events):
+    out, _ = pipeline_out
+    routed = read_sink(spark, f"{out}/sinks").select("doc_id", "fields").collect()
+    exp = {e["doc_id"]: e["fields"] for e in oracle_events}
+    for r in routed:
+        assert (r["fields"] or {}) == exp[r["doc_id"]], r["doc_id"]
