@@ -1,0 +1,232 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs):
+    python bench.py
+      -> ONE JSON line {"metric", "value" (total sec), "unit": "sec",
+         "queries": {name: sec}, "sf", plus pipeline throughput extras}
+
+Headline load = the flagship pipeline (parse -> enrich -> route ->
+aggregate over synthetic tokenized sequences, sinks + metrics written)
+plus the heavier relational/training-data queries over
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Scaling mode (the N vs 4N executor proxy, BASELINE.md):
+    python bench.py --scaling
+      -> runs the pipeline at local[8] and local[32] on the SAME
+         pre-materialized input, reports rows/s at both and
+         eff = thr32 / (4 * thr8); writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+# benchmarked subset of the driver-contract queries (the heavy ones)
+BENCH_QUERIES = [
+    "q_pricing_summary",
+    "q_shuffle_join",
+    "q_broadcast_join",
+    "q_window_analytic",
+    "q_range_join",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_embed_neardup",
+    "q_sim_topk",
+    "q_text_tokens",
+    "q_text_langid",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def pipeline_rows(sf: float) -> int:
+    return max(20_000, int(2_000_000 * sf / 0.1))
+
+
+def ensure_corpus(spark, n: int, n_buckets: int = 4) -> str:
+    """Materialize the synthetic sequences corpus once (not timed)."""
+    from logparse_spark.sources.datagen import write_sequences
+
+    path = os.path.join(DATA_DIR, f"bench_seq_{n}")
+    marker = os.path.join(path, "_SUCCESS_LOCAL")
+    if not os.path.exists(marker):
+        write_sequences(spark, path, n, n_buckets=n_buckets)
+        open(marker, "w").close()
+    return path
+
+
+def run_pipeline_once(spark, corpus_path: str, out: str) -> tuple[float, int]:
+    from logparse_spark.main import run_pipeline
+
+    seq = spark.read.parquet(corpus_path).drop("bucket")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    metrics = run_pipeline(spark, seq, out, n_buckets=4, resume=False,
+                           input_clustered=False)
+    dt = time.time() - t0
+    return dt, int(metrics["routed_rows"])
+
+
+def time_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # force full execution
+    return time.time() - t0
+
+
+def default_bench() -> dict:
+    from logparse_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    sf = _sf_of(SF_DIR)
+    spark = get_spark(app_name="bench", cores=CPUS)
+    n = pipeline_rows(sf)
+    corpus = ensure_corpus(spark, n)
+
+    out = "/tmp/lp_bench_out"
+    pipe_sec, routed = run_pipeline_once(spark, corpus, out)
+
+    qs = entrymod.queries()
+    qtimes: dict[str, float] = {"pipeline_e2e": round(pipe_sec, 3)}
+    for name in BENCH_QUERIES:
+        qtimes[name] = round(time_query(spark, qs[name], SF_DIR), 3)
+
+    total = round(sum(qtimes.values()), 3)
+    result = {
+        "metric": "end_to_end_sec (flagship pipeline + headline queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "pipeline_rows": routed,
+        "pipeline_rows_per_sec": round(routed / pipe_sec, 1),
+        "cpus": CPUS,
+    }
+    spark.stop()
+    return result
+
+
+def scaling_bench(legs=(2, 8, 32), runs: int = 3, n: int | None = None) -> dict:
+    """Same job, same input, several parallelism levels -> scaling
+    efficiency for every adjacent 4x pair (the N vs 4N proxy)."""
+    from logparse_spark.session import get_spark
+
+    n = n or pipeline_rows(_sf_of(SF_DIR))
+    # materialize once with a neutral session
+    s0 = get_spark(app_name="bench-datagen", cores=max(legs))
+    corpus = ensure_corpus(s0, n)
+    s0.stop()
+
+    results = {}
+    for cores in legs:
+        s = get_spark(
+            app_name=f"bench-{cores}", cores=cores, shuffle_partitions=cores,
+            # split size sized so every leg has >= 3 tasks/core in flight
+            extra={"spark.sql.files.maxPartitionBytes": "16m"},
+        )
+        # warm-up (discarded)
+        run_pipeline_once(s, corpus, f"/tmp/lp_scale_{cores}_warm")
+        times = []
+        routed = 0
+        for i in range(runs):
+            dt, routed = run_pipeline_once(s, corpus, f"/tmp/lp_scale_{cores}_{i}")
+            times.append(dt)
+        s.stop()
+        med = statistics.median(times)
+        results[cores] = {
+            "median_sec": round(med, 2),
+            "runs_sec": [round(t, 2) for t in times],
+            "rows_per_sec": round(routed / med, 1),
+            "rows": routed,
+        }
+    ordered = sorted(results)
+    efficiencies = {
+        f"{lo}->{hi}": round(
+            results[hi]["rows_per_sec"] / ((hi / lo) * results[lo]["rows_per_sec"]), 3
+        )
+        for lo, hi in zip(ordered, ordered[1:])
+    }
+    return {"legs": results, "efficiencies": efficiencies, "rows": n}
+
+
+def write_scaling_report(res: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    legs = sorted(int(k) for k in res["legs"])
+    rows_tbl = "\n".join(
+        f"| local[{c}] | {res['legs'][c]['median_sec']} | "
+        f"{res['legs'][c]['rows_per_sec']:,} | {res['legs'][c]['runs_sec']} |"
+        for c in legs
+    )
+    eff_tbl = "\n".join(
+        f"| {pair.replace('->', ' -> ')} cores (4x) | {eff} |"
+        for pair, eff in res["efficiencies"].items()
+    )
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — scaling proxy (N vs 4N executors)
+
+Sandbox proxy for the north-rule two-cluster-size criterion: the SAME
+pipeline job (parse -> enrich -> route -> aggregate, sinks + metrics +
+manifests + ledger written) on the SAME pre-materialized
+{res['rows']:,}-row synthetic sequences corpus, at several local[N]
+parallelism levels (1 warm-up discarded, median of timed runs).
+
+| parallelism | median wall (s) | throughput (rows/s) | runs (s) |
+|---|---|---|---|
+{rows_tbl}
+
+| N -> 4N pair | scaling efficiency thr(4N)/(4 x thr(N)) |
+|---|---|
+{eff_tbl}
+
+Target: >= 0.8.  Reading the pairs: on a single box all "executors"
+share one memory-bandwidth/LLC domain, so the proxy understates real
+cluster scaling at high core counts — the low-core pair (where the box
+still has spare bandwidth per core, like real executors each bringing
+their own) is the faithful analogue of adding executor machines; the
+high-core pair measures intra-node saturation that a 1000-executor
+cluster does not experience (each executor is its own JVM+python worker
+set on its own host).  Both are reported for honesty.
+
+Confs: AQE on, shuffle.partitions = cores, Arrow batch 20k, 16MB scan
+splits (>=3 tasks/core at every leg), session TZ UTC.
+See bench.py::scaling_bench.
+""")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--rows", type=int, default=None)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+    if args.scaling:
+        res = scaling_bench(runs=args.runs, n=args.rows)
+        write_scaling_report(res)
+        print(json.dumps(res))
+    else:
+        print(json.dumps(default_bench()))
+
+
+if __name__ == "__main__":
+    main()

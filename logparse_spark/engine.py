@@ -1,4 +1,4 @@
-"""The vectorized rule engine (P3): ONE ``mapInPandas`` stage doing
+"""The vectorized rule engine (P3): ONE Arrow-native stage doing
 detokenize -> header parse -> class dispatch -> ordered first-match
 regex extraction -> convert -> promote.
 
@@ -6,19 +6,24 @@ This is the reference's entire runtime (systemlog.py §parse_log +
 §capture_line + §capture_message, rules.py combinators [R-H]) collapsed
 into a single Arrow-batched stage:
 
-- NO per-row Python UDFs (BASELINE.json mandate): all extraction is
-  pandas ``Series.str.extract`` over class-masked subsets;
+- ``mapInArrow`` (NOT mapInPandas): the dominant payload — the binding
+  ``tokens: array<int32>`` column — passes through ZERO-COPY in both
+  directions (the output RecordBatch reuses the input Arrow buffers).
+  Measured: the stage is IPC-bound, not regex-bound; eliminating the
+  arrow->pandas->arrow conversion of the token lists is the single
+  biggest throughput lever.
+- detokenize reads the ListArray's flattened values buffer once per
+  batch (one contiguous bytes buffer, C-level per-row slices);
+- extraction is pandas ``Series.str.extract`` over class-masked string
+  Series (strings must become Python objects for `re` anyway);
 - first-match-wins preserved by ordered iteration + mask update
   (rules.py §capture/§switch semantics);
-- `switch`-on-emitting-class dispatch == pruning which rules run per
-  row (each rule's regex only ever runs on its class's rows);
-- `tokens` passes through bit-identically (the binding per-row
-  invariant).
+- NO per-row Python UDFs (BASELINE.json mandate).
 
 Scale: the stage is embarrassingly parallel (no shuffle), state-free,
-and streams bounded Arrow batches (spark.sql.execution.arrow.
-maxRecordsPerBatch), so it scales linearly with executors; the only
-JVM<->Python boundary in the whole pipeline is here, crossed once.
+and streams bounded Arrow batches, so it scales linearly with
+executors; the only JVM<->Python boundary in the whole pipeline is
+here, crossed once.
 """
 
 from __future__ import annotations
@@ -28,17 +33,16 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from logparse_spark.rulebook import (
-    CONVERTERS,
     DATE_FORMAT,
     PROMOTED_COLUMNS,
     UNKNOWN_FAMILY,
     UNKNOWN_RULE_ID,
     compile_rulebook,
 )
-from logparse_spark.tokenizer import detokenize_series
 
 PARSED_SCHEMA = (
     "doc_id string, source string, tokens array<int>, n_tok int, "
@@ -74,11 +78,28 @@ def _convert_columns(ext: pd.DataFrame, converters: dict[str, str]) -> pd.DataFr
     return ext
 
 
-def parse_batch(pdf: pd.DataFrame, compiled: dict) -> pd.DataFrame:
-    """Parse one Arrow batch of `sequences` rows into structured events."""
-    n = len(pdf)
-    idx = pd.RangeIndex(n)
-    text = detokenize_series(pdf["tokens"].reset_index(drop=True))
+def decode_tokens_arrow(tokens: pa.Array) -> list[str]:
+    """ListArray<int32> -> list[str]: ONE flattened values buffer, then
+    C-level bytes slices + decode per row (no per-row numpy objects)."""
+    import pyarrow.compute as pc
+
+    lengths = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths).astype(np.int64)
+    flat = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    buf = (flat & 0xFF).astype(np.uint8).tobytes()
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    return [buf[s:e].decode("utf-8", "replace") for s, e in zip(starts, ends)]
+
+
+def parse_texts(texts: pd.Series, compiled: dict) -> dict:
+    """The rule engine core: detokenized event strings -> column dict.
+
+    Returns plain numpy/object columns; callers assemble pandas or
+    Arrow output.  Index of `texts` must be a clean RangeIndex.
+    """
+    n = len(texts)
+    idx = texts.index
 
     # --- header parse (capture_line [R-H]): ordered format alternatives ----
     hdr_cols = ["level", "thread", "date", "source_file", "source_line", "message"]
@@ -88,7 +109,7 @@ def parse_batch(pdf: pd.DataFrame, compiled: dict) -> pd.DataFrame:
         if not unmatched.any():
             break
         sub_idx = np.flatnonzero(unmatched)
-        ext = text.iloc[sub_idx].str.extract(_pat(hregex, re.DOTALL))
+        ext = texts.iloc[sub_idx].str.extract(_pat(hregex, re.DOTALL))
         hit = ext["level"].notna().to_numpy()
         if hit.any():
             hit_idx = sub_idx[hit]
@@ -98,7 +119,7 @@ def parse_batch(pdf: pd.DataFrame, compiled: dict) -> pd.DataFrame:
 
     # message first-line vs continuation (parse_log fold [R-H]: one row ==
     # one pre-folded event; continuation lines go to `extra`)
-    msg_full = hdr["message"].where(header_ok, text)
+    msg_full = hdr["message"].where(header_ok, texts)
     split = msg_full.str.split("\n", n=1, expand=True)
     message = split[0]
     extra_str = split[1] if split.shape[1] > 1 else pd.Series([None] * n, index=idx)
@@ -111,7 +132,7 @@ def parse_batch(pdf: pd.DataFrame, compiled: dict) -> pd.DataFrame:
     # --- rule dispatch + ordered first-match extraction ---------------------
     rule_id = np.full(n, UNKNOWN_RULE_ID, dtype=np.int32)
     family = np.full(n, UNKNOWN_FAMILY, dtype=object)
-    fields: list[dict | None] = [{} for _ in range(n)]
+    fields: list[dict] = [{} for _ in range(n)]
     promoted = {c: np.full(n, None, dtype=object) for c, _ in PROMOTED_COLUMNS}
 
     cls_values = class_stem.to_numpy(dtype=object)
@@ -138,8 +159,7 @@ def parse_batch(pdf: pd.DataFrame, compiled: dict) -> pd.DataFrame:
             if ext is not None:
                 matched = _convert_columns(ext.loc[hit].copy(), rule["converters"])
                 for fname, col in rule["promote"].items():
-                    vals = matched[fname]
-                    nums = pd.to_numeric(vals, errors="coerce")
+                    nums = pd.to_numeric(matched[fname], errors="coerce")
                     promoted[col][hit_idx] = [
                         int(v) if pd.notna(v) else None for v in nums
                     ]
@@ -148,28 +168,106 @@ def parse_batch(pdf: pd.DataFrame, compiled: dict) -> pd.DataFrame:
                     fields[i] = {k: v for k, v in rec.items() if isinstance(v, str)}
             remaining[hit_idx] = False
 
+    return {
+        "level": hdr["level"],
+        "thread_name": thr["thread_name"],
+        "thread_id": thr["thread_id"],
+        "ts": ts,
+        "source_file": hdr["source_file"],
+        "source_line": pd.to_numeric(hdr["source_line"], errors="coerce"),
+        "message": message,
+        "extra": extra,
+        "rule_id": rule_id,
+        "family": family,
+        "fields": fields,
+        "promoted": promoted,
+    }
+
+
+def parse_batch(pdf: pd.DataFrame, compiled: dict) -> pd.DataFrame:
+    """pandas-path wrapper (tests/profiling); production uses Arrow path."""
+    from logparse_spark.tokenizer import detokenize_series
+
+    n = len(pdf)
+    idx = pd.RangeIndex(n)
+    texts = detokenize_series(pdf["tokens"].reset_index(drop=True))
+    cols = parse_texts(texts, compiled)
     out = pd.DataFrame(
         {
             "doc_id": pdf["doc_id"].reset_index(drop=True),
             "source": pdf["source"].reset_index(drop=True),
             "tokens": pdf["tokens"].reset_index(drop=True),
             "n_tok": pdf["n_tok"].reset_index(drop=True),
-            "level": hdr["level"],
-            "thread_name": thr["thread_name"],
-            "thread_id": thr["thread_id"],
-            "ts": ts,
-            "source_file": hdr["source_file"],
-            "source_line": pd.to_numeric(hdr["source_line"], errors="coerce").astype("Int32"),
-            "message": message,
-            "extra": extra,
-            "rule_id": rule_id,
-            "family": family,
-            "fields": pd.Series(fields, index=idx),
+            "level": cols["level"],
+            "thread_name": cols["thread_name"],
+            "thread_id": cols["thread_id"],
+            "ts": cols["ts"],
+            "source_file": cols["source_file"],
+            "source_line": cols["source_line"].astype("Int32"),
+            "message": cols["message"],
+            "extra": cols["extra"],
+            "rule_id": cols["rule_id"],
+            "family": cols["family"],
+            "fields": pd.Series(cols["fields"], index=idx),
         }
     )
     for c, _ in PROMOTED_COLUMNS:
-        out[c] = pd.Series(promoted[c], index=idx, dtype=object)
+        out[c] = pd.Series(cols["promoted"][c], index=idx, dtype=object)
     return out
+
+
+def _arrow_output_schema(tz: str) -> pa.Schema:
+    return pa.schema(
+        [
+            pa.field("doc_id", pa.string()),
+            pa.field("source", pa.string()),
+            pa.field("tokens", pa.list_(pa.int32())),
+            pa.field("n_tok", pa.int32()),
+            pa.field("level", pa.string()),
+            pa.field("thread_name", pa.string()),
+            pa.field("thread_id", pa.string()),
+            pa.field("ts", pa.timestamp("us", tz=tz)),
+            pa.field("source_file", pa.string()),
+            pa.field("source_line", pa.int32()),
+            pa.field("message", pa.string()),
+            pa.field("extra", pa.list_(pa.string())),
+            pa.field("rule_id", pa.int32()),
+            pa.field("family", pa.string()),
+            pa.field("fields", pa.map_(pa.string(), pa.string())),
+        ]
+        + [pa.field(c, pa.int64()) for c, _ in PROMOTED_COLUMNS]
+    )
+
+
+def parse_batch_arrow(batch: pa.RecordBatch, compiled: dict, schema: pa.Schema) -> pa.RecordBatch:
+    name_idx = {n: i for i, n in enumerate(batch.schema.names)}
+    tokens = batch.column(name_idx["tokens"])
+    texts = pd.Series(decode_tokens_arrow(tokens), dtype=object)
+    cols = parse_texts(texts, compiled)
+
+    ts_arr = pa.Array.from_pandas(cols["ts"]).cast(schema.field("ts").type)
+    arrays = [
+        batch.column(name_idx["doc_id"]),        # zero-copy passthrough
+        batch.column(name_idx["source"]),        # zero-copy passthrough
+        tokens.cast(pa.list_(pa.int32())),       # zero-copy passthrough
+        batch.column(name_idx["n_tok"]).cast(pa.int32()),
+        pa.array(cols["level"], type=pa.string(), from_pandas=True),
+        pa.array(cols["thread_name"], type=pa.string(), from_pandas=True),
+        pa.array(cols["thread_id"], type=pa.string(), from_pandas=True),
+        ts_arr,
+        pa.array(cols["source_file"], type=pa.string(), from_pandas=True),
+        pa.array(cols["source_line"], type=pa.int32(), from_pandas=True),
+        pa.array(cols["message"], type=pa.string(), from_pandas=True),
+        pa.array(cols["extra"], type=pa.list_(pa.string()), from_pandas=True),
+        pa.array(cols["rule_id"], type=pa.int32()),
+        pa.array(cols["family"], type=pa.string()),
+        pa.array([list(d.items()) for d in cols["fields"]],
+                 type=pa.map_(pa.string(), pa.string())),
+    ] + [
+        pa.array(cols["promoted"][c].tolist(), type=pa.int64())
+        for c, _ in PROMOTED_COLUMNS
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
 def parse_sequences(df: DataFrame, rules=None) -> DataFrame:
@@ -179,10 +277,12 @@ def parse_sequences(df: DataFrame, rules=None) -> DataFrame:
     a few hundred rules it would move to ``sparkContext.broadcast``.
     """
     compiled = compile_rulebook(rules)
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    out_schema = _arrow_output_schema(tz)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield parse_batch(pdf, compiled)
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows:
+                yield parse_batch_arrow(batch, compiled, out_schema)
 
-    return df.mapInPandas(fn, schema=PARSED_SCHEMA)
+    return df.mapInArrow(fn, schema=PARSED_SCHEMA)

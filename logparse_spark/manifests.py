@@ -32,19 +32,24 @@ def observed(df: DataFrame) -> tuple[DataFrame, Observation]:
     )
 
 
-def partition_manifests(parsed: DataFrame) -> DataFrame:
+def partition_manifests(parsed: DataFrame, grain: DataFrame | None = None) -> DataFrame:
     """Per-(source,bucket) lineage row: counts, rule histogram, checksum.
 
     checksum = sum of crc32(doc_id||rule_id) — order-insensitive,
     overflow-safe at any scale (bigint sum of 32-bit values), and
     sensitive to both membership and per-row rule assignment.
+
+    Derives from the (cached) grain_counts table when supplied — no
+    extra pass over the routed data.
     """
-    per_rule = parsed.groupBy("source", "bucket", "rule_id").agg(
-        F.count("*").alias("cnt"),
-        F.sum("n_tok").alias("tok"),
-        F.sum(
-            F.crc32(F.concat_ws("|", F.col("doc_id"), F.col("rule_id")))
-        ).alias("chk"),
+    from logparse_spark.operators.aggregate import grain_counts
+
+    if grain is None:
+        grain = grain_counts(parsed)
+    per_rule = grain.groupBy("source", "bucket", "rule_id").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("tok").alias("tok"),
+        F.sum("chk").alias("chk"),
     )
     return per_rule.groupBy("source", "bucket").agg(
         F.sum("cnt").alias("routed_rows"),
@@ -57,9 +62,9 @@ def partition_manifests(parsed: DataFrame) -> DataFrame:
     )
 
 
-def write_manifests(parsed: DataFrame, path: str) -> None:
-    mf = partition_manifests(parsed)
+def write_manifests(parsed: DataFrame, path: str, grain: DataFrame | None = None) -> None:
+    mf = partition_manifests(parsed, grain)
     # JSON lines: small (one row per partition key), human-auditable
-    mf.select(F.to_json(F.struct(*mf.columns)).alias("manifest")).write.mode(
+    mf.select(F.to_json(F.struct(*mf.columns)).alias("manifest")).coalesce(1).write.mode(
         "overwrite"
     ).text(path)

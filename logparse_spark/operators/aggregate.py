@@ -14,14 +14,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def rule_histogram(parsed: DataFrame) -> DataFrame:
+def grain_counts(parsed: DataFrame) -> DataFrame:
+    """The finest metric grain: ONE scan of the routed data produces a
+    tiny additive table (sources x buckets x rules x levels) that every
+    downstream aggregate (histogram, rollup, manifests, ledger counts)
+    derives from without touching the big table again.
+
+    At 10^12 rows this is the whole trick: one column-pruned pass,
+    then driver-scale arithmetic.
+    """
+    return parsed.groupBy("source", "bucket", "family", "rule_id", "level").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_tok").alias("tok"),
+        F.sum(
+            F.crc32(F.concat_ws("|", F.col("doc_id"), F.col("rule_id")))
+        ).alias("chk"),
+    )
+
+
+def rule_histogram(parsed: DataFrame, grain: DataFrame | None = None) -> DataFrame:
     """Rule-hit histogram (== oracle Counter over the same corpus)."""
+    if grain is not None:
+        return grain.groupBy("family", "rule_id").agg(F.sum("cnt").alias("cnt"))
     return parsed.groupBy("family", "rule_id").agg(F.count("*").alias("cnt"))
 
 
-def source_level_rollup(parsed: DataFrame) -> DataFrame:
+def source_level_rollup(parsed: DataFrame, grain: DataFrame | None = None) -> DataFrame:
     """GROUP BY ROLLUP(source, level): per-source, per-source-level and
     grand-total counts in one pass (NULL-padded grouping columns)."""
+    if grain is not None:
+        return grain.rollup("source", "level").agg(F.sum("cnt").alias("cnt"))
     return parsed.rollup("source", "level").agg(F.count("*").alias("cnt"))
 
 
@@ -38,8 +60,13 @@ def family_metrics(parsed: DataFrame) -> DataFrame:
     )
 
 
-def write_metrics(parsed: DataFrame, metrics_path: str) -> None:
-    """Materialize the three aggregate tables under one metrics root."""
-    rule_histogram(parsed).write.mode("overwrite").parquet(f"{metrics_path}/rule_histogram")
-    source_level_rollup(parsed).write.mode("overwrite").parquet(f"{metrics_path}/source_level_rollup")
-    family_metrics(parsed).write.mode("overwrite").parquet(f"{metrics_path}/family_metrics")
+def write_metrics(parsed: DataFrame, metrics_path: str,
+                  grain: DataFrame | None = None) -> None:
+    """Materialize the three aggregate tables under one metrics root.
+
+    With `grain` supplied, histogram+rollup reuse the cached grain; only
+    family_metrics re-scans (column-pruned: it needs raw duration_ms for
+    the percentile sketch).  Outputs are driver-tiny -> coalesce(1)."""
+    rule_histogram(parsed, grain).coalesce(1).write.mode("overwrite").parquet(f"{metrics_path}/rule_histogram")
+    source_level_rollup(parsed, grain).coalesce(1).write.mode("overwrite").parquet(f"{metrics_path}/source_level_rollup")
+    family_metrics(parsed).coalesce(1).write.mode("overwrite").parquet(f"{metrics_path}/family_metrics")

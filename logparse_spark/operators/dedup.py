@@ -45,7 +45,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # shingling + MinHash + LSH (all JVM expressions)
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+# 2^31-1: keeps a*h+b < 2^62 — no int64 overflow (Spark 4 ANSI mode
+# makes arithmetic overflow a runtime ERROR, not a silent wrap)
+_MERSENNE = (1 << 31) - 1
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -63,29 +65,28 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
     """num_hashes-wide MinHash signature as array<bigint> — pure SQL.
 
     h_i(s) = (a_i * xxhash64(s) + b_i) mod M  (Carter-Wegman family);
-    signature[i] = min over shingles.  Coefficients are literals folded
-    into the plan, so the whole signature is one codegen'd projection.
+    signature[i] = min over shingles.  ONE aggregate pass over the
+    shingle array computes all num_hashes mins simultaneously
+    (elementwise zip_with/least against the running signature).
     """
     import random
 
     rnd = random.Random(seed)
     a = [rnd.randrange(1, _MERSENNE) for _ in range(num_hashes)]
     b = [rnd.randrange(0, _MERSENNE) for _ in range(num_hashes)]
-    hashes = [
-        F.array_min(
-            F.transform(
-                shingles,
-                # abs() first: xxhash64 is signed; mod in Spark keeps sign
-                lambda s, i=i: F.pmod(
-                    F.lit(a[i]) * F.pmod(F.abs(F.xxhash64(s)), F.lit(_MERSENNE))
-                    + F.lit(b[i]),
-                    F.lit(_MERSENNE),
-                ),
-            )
+
+    def hashes_of(s):
+        base = F.pmod(F.xxhash64(s), F.lit(_MERSENNE))  # pmod: always >= 0
+        return F.array(
+            *[F.pmod(F.lit(a[i]) * base + F.lit(b[i]), F.lit(_MERSENNE))
+              for i in range(num_hashes)]
         )
-        for i in range(num_hashes)
-    ]
-    return F.array(*hashes)
+
+    init = F.array(*[F.lit(_MERSENNE).cast("bigint")] * num_hashes)
+    return F.aggregate(
+        shingles, init,
+        lambda acc, s: F.zip_with(acc, hashes_of(s), lambda x, y: F.least(x, y)),
+    )
 
 
 def minhash_lsh_candidates(
@@ -177,24 +178,26 @@ def simhash_col(text_col: str = "text") -> Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
+    def _simhash(texts):
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             if not t:
                 continue
-            hs = np.fromiter(
-                (hash(w) & 0xFFFFFFFFFFFFFFFF for w in str(t).lower().split()),
-                dtype=np.uint64,
-            )
-            if hs.size == 0:
+            words = str(t).lower().split()
+            if not words:
                 continue
+            # pd.util.hash_array is deterministic across processes
+            # (fixed siphash key) — NEVER builtin hash() (PYTHONHASHSEED)
+            hs = pd.util.hash_array(np.array(words, dtype=object))
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
             sim = np.where(bits * 2 >= hs.size, np.uint64(1), np.uint64(0))
             out[i] = np.int64((sim << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64))
         return pd.Series(out)
 
-    return _simhash(F.col(text_col))
+    # `from __future__ import annotations` stringifies hints, which the
+    # pandas_udf type-hint inspector rejects — set them concretely.
+    _simhash.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_simhash, "long")(F.col(text_col))
 
 
 def simhash_near_dups(
@@ -210,12 +213,16 @@ def simhash_near_dups(
     chunks = s.select(
         "id", "sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.shiftright(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
             )
         ).alias("c"),
     ).select("id", "sh", "c.chunk", "c.ckey")

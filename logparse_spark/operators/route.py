@@ -26,16 +26,35 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.crc32(F.col("doc_id")), F.lit(n_buckets)).cast("int"))
 
 
-def route(df: DataFrame, sinks_path: str, n_buckets: int = 4) -> None:
+def route(df: DataFrame, sinks_path: str, n_buckets: int = 4,
+          write_salt: int = 2, cluster: bool = True) -> None:
     """Write the fan-out sinks in one pass, partitioned by family.
 
     `fields` (map) and `extra` (array) columns are parquet-native; the
     binding `tokens` column lands in every sink bit-identically.
+
+    File-count discipline: without clustering, EVERY task writes a file
+    into EVERY (family, source, bucket) dir it sees -> O(tasks x dirs)
+    small files.  Repartitioning on the partition keys (+ a doc_id salt
+    so one hot dir never pins a single task) bounds files per dir to
+    `write_salt` and total files to dirs x salt — at 100 TB this is the
+    difference between a working table and a small-files meltdown.
+
+    `cluster=False` skips that shuffle: correct ONLY when the input is
+    already laid out by (source, bucket) — e.g. scanning the production
+    corpus, whose partition dirs align tasks with (source, bucket), so
+    each task fans out to at most |families| dirs.  The stateless parse
+    stage preserves partitioning 1:1, so the alignment survives it.
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if "bucket" not in df.columns:
         df = with_bucket(df, n_buckets)
+    if cluster:
+        df = df.repartition(
+            *[F.col(c) for c in SINK_PARTITIONS],
+            F.pmod(F.crc32(F.col("doc_id")), F.lit(write_salt)),
+        )
     df.write.mode("overwrite").partitionBy(*SINK_PARTITIONS).parquet(sinks_path)
 
 

@@ -194,6 +194,14 @@ def write_sequences(
     (source, bucket(doc_id)) — partition-pruned scans + ledger granularity."""
     df = generate_sequences(spark, n, seed, partitions)
     df = df.withColumn("bucket", F.pmod(F.crc32(F.col("doc_id")), F.lit(n_buckets)))
+    # cluster on the partition keys (+salt) so files-per-dir stays bounded
+    # instead of tasks x dirs (same discipline as operators/route.py);
+    # salt=8 keeps the zipf-hot source split across >=8 files so the
+    # downstream scan parallelizes over it
+    df = df.repartition(
+        F.col("source"), F.col("bucket"),
+        F.pmod(F.crc32(F.col("doc_id")), F.lit(8)),
+    )
     df.write.mode("overwrite").partitionBy("source", "bucket").parquet(path)
 
 

@@ -1,0 +1,68 @@
+"""Structured Streaming mode (SURVEY.md §2.3 streaming row, milestone M7).
+
+The SAME ``parse_sequences`` engine (mapInPandas is stateless, so it
+lifts to streaming unchanged) over a file-source stream of sequence
+parquet, with:
+
+- watermarked event-time windowed aggregation (late data dropped past
+  the watermark);
+- fan-out routing via ``foreachBatch`` (per-micro-batch partitionBy
+  write — the streaming twin of operators/route.py);
+- ``availableNow`` trigger for bounded catch-up runs (tests/CI).
+
+The reference is strictly batch (one-pass generator); streaming is an
+extension the Spark architecture gives nearly for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logparse_spark.engine import parse_sequences
+from logparse_spark.sources.datagen import SEQUENCES_SCHEMA
+
+
+def stream_sequences(spark: SparkSession, path: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(SEQUENCES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def parse_stream(stream: DataFrame) -> DataFrame:
+    return parse_sequences(stream)
+
+
+def windowed_family_counts(parsed: DataFrame, window: str = "1 minute",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Event-time windowed rule-family counts with late-data bound."""
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "family")
+        .agg(F.count("*").alias("cnt"), F.sum("n_tok").alias("total_tokens"))
+        .select("win.start", "win.end", "family", "cnt", "total_tokens")
+    )
+
+
+def route_stream(parsed: DataFrame, sinks_path: str, checkpoint: str):
+    """Streaming fan-out: per-micro-batch partitioned append."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").partitionBy("family").parquet(sinks_path)
+
+    return (
+        parsed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_available_now(spark: SparkSession, input_path: str, sinks_path: str,
+                      checkpoint: str) -> None:
+    """Bounded streaming run: process everything currently available."""
+    q = route_stream(parse_stream(stream_sequences(spark, input_path)),
+                     sinks_path, checkpoint)
+    q.awaitTermination()

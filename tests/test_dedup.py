@@ -1,0 +1,77 @@
+"""Dedup operators: planted duplicates must be found; determinism across
+partitionings (LSH/SimHash are seeded, never RNG-at-runtime)."""
+
+from pyspark.sql import functions as F
+
+from logparse_spark.operators import dedup as dd
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog tonight"),
+    ("d2", "the quick brown fox jumps over the lazy dog tonight"),  # exact dup of d1
+    ("d3", "the quick brown fox jumps over the lazy cat tonight"),  # near dup
+    ("d4", "completely different content about spark shuffle partitions"),
+    ("d5", "totally unrelated text regarding database query optimizers"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_exact_dedup(spark):
+    out = dd.exact_dedup(_docs(spark)).collect()
+    assert len(out) == 4  # d1/d2 collapse
+    by_keep = {r["keep_id"]: r["dupes"] for r in out}
+    assert by_keep["d1"] == 2
+
+
+def test_minhash_lsh_finds_planted_pair(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dd.minhash_lsh_candidates(
+                 _docs(spark), shingle_n=2, num_hashes=32, bands=16).collect()}
+    assert ("d1", "d2") in pairs  # identical -> identical signature
+    assert ("d1", "d3") in pairs  # 1-word edit survives banding
+    assert ("d4", "d5") not in pairs
+
+
+def test_minhash_deterministic_across_partitioning(spark):
+    a = sorted(map(tuple, dd.minhash_lsh_candidates(_docs(spark).repartition(1)).collect()))
+    b = sorted(map(tuple, dd.minhash_lsh_candidates(_docs(spark).repartition(5)).collect()))
+    assert a == b
+
+
+def test_ngram_jaccard(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dd.ngram_jaccard_pairs(_docs(spark), shingle_n=1, threshold=0.5).collect()}
+    assert pairs[("d1", "d2")] == 1.0
+    assert ("d1", "d3") in pairs
+    assert ("d4", "d5") not in pairs
+
+
+def test_simhash_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dd.simhash_near_dups(_docs(spark), max_hamming=10).collect()}
+    assert pairs[("d1", "d2")] == 0
+    assert ("d1", "d3") in pairs
+    assert ("d4", "d5") not in pairs
+
+
+def test_simhash_deterministic_rerun(spark):
+    df = _docs(spark)
+    a = sorted(r["sh"] for r in df.select(dd.simhash_col("text").alias("sh")).collect())
+    b = sorted(r["sh"] for r in df.repartition(3).select(dd.simhash_col("text").alias("sh")).collect())
+    assert a == b
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dd.embedding_near_dups(df, dim=4, n_planes=6, min_cosine=0.95).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (3, 4) not in pairs

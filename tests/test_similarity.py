@@ -1,0 +1,65 @@
+"""Similarity search: brute-force exactness; IVF recall against brute
+force on structured (clustered) data; plan shape (broadcast, no
+corpus shuffle)."""
+
+import math
+
+from logparse_spark.operators import similarity as sim
+from logparse_spark.plans import assert_broadcast_join
+
+
+def _vecs(spark, n=40, dim=8):
+    # four well-separated clusters on coordinate axes + noise dims
+    rows = []
+    for i in range(n):
+        c = i % 4
+        v = [0.0] * dim
+        v[c] = 1.0
+        v[4 + c] = 0.1 * ((i * 7) % 5)  # deterministic within-cluster spread
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_brute_force_topk_exact(spark):
+    df = _vecs(spark)
+    out = sim.brute_force_topk(df, df.where("vec_id < 4"), k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+        for r in rows:  # same-cluster neighbors only
+            assert r["neighbor_id"] % 4 == q % 4
+    # verify the top-1 is the true argmax cosine (python recompute)
+    pdf = {r["vec_id"]: r["embedding"] for r in _vecs(spark).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for q, rows in by_q.items():
+        top = min(rows, key=lambda r: r["rank"])
+        best = max((v for v in pdf if v != q), key=lambda v: (cos(pdf[q], pdf[v]), -v))
+        assert top["neighbor_id"] == best
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    df = _vecs(spark)
+    queries = df.where("vec_id < 4")
+    brute = {(r["query_id"], r["neighbor_id"]) for r in
+             sim.brute_force_topk(df, queries, k=3).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in
+           sim.ivf_topk(df, queries, k=3, n_centroids=8, nprobe=4).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.8, f"IVF recall {recall}"
+
+
+def test_brute_force_plan_broadcasts_queries(spark):
+    df = _vecs(spark, n=200)
+    out = sim.brute_force_topk(df, df.where("vec_id < 2"), k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # non-equi all-pairs scoring: queries side must be the broadcast side
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan[:3000]
+    # map-side partial top-k prunes before the one shuffle
+    assert "WindowGroupLimit" in plan, plan[:3000]
