@@ -274,6 +274,169 @@ RULES: list[Rule] = [
         promote={"size": "bytes_in"},
         event_category="batch", event_type="size_warning",
     ),
+    # --- breadth rules (reference classes beyond the fixture corpus;
+    # systemlog.py §capture_message [R-M], unit-tested via literal lines) ---
+    Rule(
+        140, "StorageService", "startup",
+        r"^JOINING: (?P<joining_status>.*)$",
+        event_category="startup", event_type="joining",
+    ),
+    Rule(
+        141, "StorageService", "gossip",
+        r"^Node /(?P<endpoint>[\d.]+) state jump to (?P<state>\w+)$",
+        event_category="gossip", event_type="state_jump",
+    ),
+    Rule(
+        142, "StorageService", "startup",
+        r"^Using saved tokens \[(?P<tokens_list>[^\]]*)\]$",
+        event_category="startup", event_type="saved_tokens",
+    ),
+    Rule(
+        150, "CassandraDaemon", "startup",
+        r"^JVM vendor/version: (?P<jvm>.*)$",
+        event_category="startup", event_type="jvm",
+    ),
+    Rule(
+        151, "CassandraDaemon", "startup",
+        r"^Classpath: (?P<classpath>.*)$",
+        event_category="startup", event_type="classpath",
+    ),
+    Rule(
+        160, "Memtable", "flush",
+        r"^CFS\(Keyspace='(?P<keyspace>[^']+)', ColumnFamily='(?P<table>[^']+)'\) "
+        r"liveRatio is (?P<live_ratio>[\d.]+) \(just-counted was (?P<just_counted>[\d.]+)\)\.",
+        converters={"live_ratio": "float", "just_counted": "float"},
+        event_category="flush", event_type="live_ratio",
+    ),
+    Rule(
+        170, "CompactionController", "compaction",
+        r"^Compacting large (?:row|partition) (?P<keyspace_table>\S+):(?P<partition_key>\S+) "
+        r"\((?P<bytes>\d+) bytes\) incrementally$",
+        converters={"bytes": "int"},
+        promote={"bytes": "bytes_in"},
+        event_category="compaction", event_type="large_partition",
+    ),
+    Rule(
+        180, "SSTableDeletingTask", "sstable",
+        r"^Unable to delete (?P<filename>\S+) \(it will be removed on server restart; "
+        r"we'll also retry after GC\)$",
+        event_category="sstable", event_type="delete_failed",
+    ),
+    Rule(
+        190, "Gossiper", "gossip",
+        r"^Announcing shutdown$",
+        event_category="gossip", event_type="shutdown",
+    ),
+    Rule(
+        191, "Gossiper", "gossip",
+        r"^Node /(?P<endpoint>[\d.]+) has restarted, now UP$",
+        event_category="gossip", event_type="node_restarted",
+    ),
+    Rule(
+        200, "OutboundTcpConnection", "network",
+        r"^Cannot handshake version with /(?P<endpoint>[\d.]+)$",
+        event_category="network", event_type="handshake_failed",
+    ),
+    Rule(
+        210, "HintedHandOffManager", "hints",
+        r"^Started hinted handoff for host: (?P<host_id>\S+) with IP: /(?P<endpoint>[\d.]+)$",
+        event_category="hints", event_type="handoff_begin",
+    ),
+    Rule(
+        211, "HintedHandOffManager", "hints",
+        r"^Deleting any stored hints for /(?P<endpoint>[\d.]+)$",
+        event_category="hints", event_type="hints_deleted",
+    ),
+    Rule(
+        220, "CommitLog", "commitlog",
+        r"^No commitlog files found; skipping replay$",
+        event_category="commitlog", event_type="no_replay",
+    ),
+    Rule(
+        221, "CommitLogReplayer", "commitlog",
+        r"^Log replay complete, (?P<replayed_mutations>\d+) replayed mutations$",
+        converters={"replayed_mutations": "int"},
+        promote={"replayed_mutations": "count"},
+        event_category="commitlog", event_type="replay_complete",
+    ),
+    Rule(
+        230, "SecondaryIndexManager", "index",
+        r"^Creating new index : ColumnDefinition\{(?P<definition>.*)\}$",
+        event_category="index", event_type="create",
+    ),
+    Rule(
+        231, "SecondaryIndexManager", "index",
+        r"^Submitting index build of (?P<index_name>\S+) for data in (?P<sstables>.*)$",
+        event_category="index", event_type="build",
+    ),
+    Rule(
+        240, "MigrationManager", "schema",
+        r"^Create new table: (?P<table_def>.*)$",
+        event_category="schema", event_type="create_table",
+    ),
+    Rule(
+        241, "MigrationManager", "schema",
+        r"^Update table '(?P<keyspace_table>[^']+)' From (?P<from_def>.*) To (?P<to_def>.*)$",
+        event_category="schema", event_type="update_table",
+    ),
+    Rule(
+        250, "ThriftServer", "cql",
+        r"^Listening for thrift clients\.\.\.$",
+        event_category="thrift", event_type="listen",
+    ),
+    Rule(
+        260, "SlabPoolCleaner", "flush",
+        r"^Flushing largest CFS\(Keyspace='(?P<keyspace>[^']+)', ColumnFamily="
+        r"'(?P<table>[^']+)'\) to free up room\. Used total: (?P<used_ratio>[\d.]+)/"
+        r"(?P<reclaimable_ratio>[\d.]+), live: (?P<live_ratio>[\d.]+)/"
+        r"(?P<live_reclaimable>[\d.]+), flushing: (?P<flushing_ratio>[\d.]+)/"
+        r"(?P<flushing_reclaimable>[\d.]+), this: (?P<this_ratio>[\d.]+)/"
+        r"(?P<this_reclaimable>[\d.]+)$",
+        converters={k: "float" for k in (
+            "used_ratio", "reclaimable_ratio", "live_ratio", "live_reclaimable",
+            "flushing_ratio", "flushing_reclaimable", "this_ratio", "this_reclaimable")},
+        event_category="flush", event_type="slab_flush",
+    ),
+    Rule(
+        270, "AntiEntropyService", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] new session: will sync (?P<nodes>.*) on "
+        r"range \((?P<range_start>-?\d+),(?P<range_end>-?\d+)\] for "
+        r"(?P<keyspace>\S+)\.\[(?P<tables>[^\]]+)\]$",
+        converters={"range_start": "int", "range_end": "int"},
+        event_category="repair", event_type="session_start",
+    ),
+    Rule(
+        271, "AntiEntropyService", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] session completed successfully$",
+        event_category="repair", event_type="session_end",
+    ),
+    # --- DSE / Solr (solr.py [R-M]) ----------------------------------------
+    Rule(
+        300, "DseDaemon", "startup",
+        r"^DSE version: (?P<dse_version>[\d.]+)$",
+        event_product="dse", event_category="startup", event_type="dse_version",
+    ),
+    Rule(
+        310, "SolrCore", "solr",
+        r"^\[(?P<core>\S+)\] Opening new SolrCore at (?P<path>\S+)$",
+        event_product="solr", event_category="solr", event_type="core_open",
+    ),
+    Rule(
+        311, "SolrCore", "solr",
+        r"^\[(?P<core>\S+)\] webapp=(?P<webapp>\S+) path=(?P<path>\S+) "
+        r"params=\{(?P<params>[^}]*)\} hits=(?P<hits>\d+) status=(?P<status>\d+) "
+        r"QTime=(?P<qtime>\d+)$",
+        converters={"hits": "int", "status": "int", "qtime": "int"},
+        promote={"qtime": "duration_ms", "hits": "count"},
+        event_product="solr", event_category="solr", event_type="query",
+    ),
+    Rule(
+        320, "AbstractSolrSecondaryIndex", "solr",
+        r"^Reindexing (?P<count>\d+) commit log updates for core (?P<core>\S+)$",
+        converters={"count": "int"},
+        promote={"count": "count"},
+        event_product="solr", event_category="solr", event_type="reindex",
+    ),
 ]
 
 FAMILIES: list[str] = sorted({r.family for r in RULES} | {UNKNOWN_FAMILY})

@@ -1,0 +1,84 @@
+"""Raw log-file ingestion (systemlog.py §parse_log / O11 [R-H]): turn
+actual ``system.log`` text files into the binding `sequences` shape —
+header-line detection + continuation-line folding (stack traces attach
+to the PREVIOUS event), then byte-tokenize.
+
+Design: ``spark.read.text(wholetext=True)`` gives one row per file, so
+the order-dependent fold runs vectorized inside one mapInArrow batch
+per file — correct line order guaranteed (a line-per-row scan does NOT
+guarantee order across splits), parallel across files.  Memory bound =
+largest single file; production log files rotate at ~100MB-1GB, well
+inside an executor.  The reference's `**extras` node tagging becomes
+the `source` column derived from the file path.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from logparse_spark.rulebook import HEADER_FORMATS
+
+# header detection only needs the line prefix shape, not the full parse
+_HEADER_PROBE = re.compile(
+    r"^[A-Z]+\s+\[[^\]]+\]\s+\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3}\s+\w+\.java"
+)
+
+
+def fold_lines(text: str) -> list[str]:
+    """Group raw lines into events: a header line starts a new event;
+    non-header lines (exception text, '\\tat ...' frames) append to the
+    current one (parse_log's generator fold [R-H]).  Leading orphan
+    continuation lines form one unknown-routed event — never dropped."""
+    events: list[list[str]] = []
+    for line in text.splitlines():
+        if not line:
+            continue
+        if _HEADER_PROBE.match(line) or not events:
+            events.append([line])
+        else:
+            events[-1].append(line)
+    return ["\n".join(ev) for ev in events]
+
+
+def source_from_path(path: str) -> str:
+    """node name from .../<node>/system.log or the file stem."""
+    base = os.path.basename(path)
+    parent = os.path.basename(os.path.dirname(path))
+    return parent if base.startswith("system") and parent else os.path.splitext(base)[0]
+
+
+def raw_logs_to_sequences(spark: SparkSession, glob: str) -> DataFrame:
+    """Text log files -> sequences(doc_id, tokens, n_tok, source)."""
+    files = spark.read.text(glob, wholetext=True).selectExpr(
+        "value", "input_file_name() as path"
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            rows_out = {"doc_id": [], "tokens": [], "n_tok": [], "source": []}
+            paths = batch.column(1).to_pylist()
+            texts = batch.column(0).to_pylist()
+            for path, text in zip(paths, texts):
+                source = source_from_path(path)
+                for i, ev in enumerate(fold_lines(text or "")):
+                    toks = list(ev.encode("utf-8"))
+                    rows_out["doc_id"].append(f"{source}-{i:012d}")
+                    rows_out["tokens"].append(toks)
+                    rows_out["n_tok"].append(len(toks))
+                    rows_out["source"].append(source)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows_out["doc_id"], type=pa.string()),
+                    pa.array(rows_out["tokens"], type=pa.list_(pa.int32())),
+                    pa.array(rows_out["n_tok"], type=pa.int32()),
+                    pa.array(rows_out["source"], type=pa.string()),
+                ],
+                names=["doc_id", "tokens", "n_tok", "source"],
+            )
+
+    return files.mapInArrow(fn, "doc_id string, tokens array<int>, n_tok int, source string")

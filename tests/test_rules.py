@@ -60,6 +60,52 @@ FIXTURE_LINES = [
     ("BatchStatement", "Batch of prepared statements for [ks1.t1] is of size 6283, exceeding specified threshold of 5120 by 1163.",
      130, "batch", {"keyspace_table": "ks1.t1", "size": "6283", "exceed": "1163"}),
     ("NovelClass", "Some message no rule matches 12345", UNKNOWN_RULE_ID, "unknown", {}),
+    # breadth rules (reference classes beyond the fixture corpus [R-M])
+    ("StorageService", "JOINING: waiting for ring information", 140, "startup", {}),
+    ("StorageService", "Node /10.1.2.7 state jump to normal", 141, "gossip",
+     {"endpoint": "10.1.2.7", "state": "normal"}),
+    ("StorageService", "Using saved tokens [-1035762459668265269, 1235]", 142, "startup", {}),
+    ("CassandraDaemon", "JVM vendor/version: Java HotSpot(TM) 64-Bit Server VM/1.7.0_76", 150, "startup", {}),
+    ("CassandraDaemon", "Classpath: /etc/cassandra:/usr/share/cassandra/lib/antlr-3.2.jar", 151, "startup", {}),
+    ("Memtable", "CFS(Keyspace='ks1', ColumnFamily='t1') liveRatio is 10.3 (just-counted was 10.3).  calculation took 8ms for 148 cells",
+     160, "flush", {"keyspace": "ks1", "table": "t1", "live_ratio": "10.3"}),
+    ("CompactionController", "Compacting large row ks1.t1:user123 (104857600 bytes) incrementally",
+     170, "compaction", {"keyspace_table": "ks1.t1", "partition_key": "user123", "bytes": "104857600"}),
+    ("SSTableDeletingTask", "Unable to delete /data/ks1/t1/ks1-t1-jb-5-Data.db (it will be removed on server restart; we'll also retry after GC)",
+     180, "sstable", {"filename": "/data/ks1/t1/ks1-t1-jb-5-Data.db"}),
+    ("Gossiper", "Announcing shutdown", 190, "gossip", {}),
+    ("Gossiper", "Node /10.1.2.3 has restarted, now UP", 191, "gossip", {"endpoint": "10.1.2.3"}),
+    ("OutboundTcpConnection", "Cannot handshake version with /10.1.2.8", 200, "network",
+     {"endpoint": "10.1.2.8"}),
+    ("HintedHandOffManager", "Started hinted handoff for host: 8a9b4a0e-92cc-43f9 with IP: /10.1.2.4",
+     210, "hints", {"endpoint": "10.1.2.4", "host_id": "8a9b4a0e-92cc-43f9"}),
+    ("HintedHandOffManager", "Deleting any stored hints for /10.1.2.4", 211, "hints",
+     {"endpoint": "10.1.2.4"}),
+    ("CommitLog", "No commitlog files found; skipping replay", 220, "commitlog", {}),
+    ("CommitLogReplayer", "Log replay complete, 4123 replayed mutations", 221, "commitlog",
+     {"replayed_mutations": "4123"}),
+    ("SecondaryIndexManager", "Creating new index : ColumnDefinition{name=6c6f63, type=UTF8Type}",
+     230, "index", {}),
+    ("SecondaryIndexManager", "Submitting index build of ks1.idx_loc for data in SSTableReader(path='x')",
+     231, "index", {"index_name": "ks1.idx_loc"}),
+    ("MigrationManager", "Create new table: org.apache.cassandra.config.CFMetaData@4717s[cfId=...]",
+     240, "schema", {}),
+    ("MigrationManager", "Update table 'ks1/t1' From org.apache...@1 To org.apache...@2",
+     241, "schema", {"keyspace_table": "ks1/t1"}),
+    ("ThriftServer", "Listening for thrift clients...", 250, "cql", {}),
+    ("SlabPoolCleaner", "Flushing largest CFS(Keyspace='ks1', ColumnFamily='t1') to free up room. Used total: 0.33/0.00, live: 0.33/0.00, flushing: 0.00/0.00, this: 0.20/0.00",
+     260, "flush", {"keyspace": "ks1", "table": "t1", "used_ratio": "0.33", "this_ratio": "0.2"}),
+    ("AntiEntropyService", "[repair #af55s-11] new session: will sync /10.1.2.3, /10.1.2.4 on range (123,456] for ks1.[t1, t2]",
+     270, "repair", {"session_id": "af55s-11", "range_start": "123", "range_end": "456", "keyspace": "ks1"}),
+    ("AntiEntropyService", "[repair #af55s-11] session completed successfully", 271, "repair",
+     {"session_id": "af55s-11"}),
+    ("DseDaemon", "DSE version: 4.6.1", 300, "startup", {"dse_version": "4.6.1"}),
+    ("SolrCore", "[ks1.t1] Opening new SolrCore at /usr/share/dse/solr/ks1.t1", 310, "solr",
+     {"core": "ks1.t1"}),
+    ("SolrCore", "[ks1.t1] webapp=/solr path=/select params={q=*:*} hits=42 status=0 QTime=7",
+     311, "solr", {"core": "ks1.t1", "hits": "42", "qtime": "7"}),
+    ("AbstractSolrSecondaryIndex", "Reindexing 1042 commit log updates for core ks1.t1",
+     320, "solr", {"count": "1042"}),
 ]
 
 
