@@ -321,6 +321,38 @@ def q_range_join(spark, sf):
     )
 
 
+def q_session_window(spark, sf):
+    """session_window (batch): 30-min-gap user sessions over events."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("events"),
+             F.sum(F.col("value").cast(DEC)).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "events", "session_value",
+        )
+    )
+
+
+def q_asof_join(spark, sf):
+    """pd.merge_asof via cogrouped applyInPandas: each purchase gets the
+    latest prior click's event_id (DuckDB oracle: ASOF JOIN)."""
+    from logparse_spark.operators.asof import asof_join_pandas
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts").agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join_pandas(purchases, clicks, "user_id", "ts", "click_id",
+                           out_col="asof_click_id")
+    return out.select("user_id", "event_id", "asof_click_id")
+
+
 def q_asof_prior_click(spark, sf):
     """As-of composition: each purchase matched to the latest prior click
     of the same user (windowed last-ignorenulls — no join needed)."""
@@ -491,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_explode_words": q_explode_words,
         "q_map_fns": q_map_fns,
         "q_range_join": q_range_join,
+        "q_session_window": q_session_window,
+        "q_asof_join": q_asof_join,
         "q_asof_prior_click": q_asof_prior_click,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_jaccard": q_dedup_jaccard,
@@ -666,6 +700,36 @@ def oracle_sql() -> dict[str, str]:
                  AND l_shipdate >= o_orderdate
                  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
             GROUP BY o_orderpriority
+        """,
+        "q_session_window": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS events,
+                   sum(CAST(value AS DECIMAL(18,2))) AS session_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "q_asof_join": """
+            WITH purchases AS (
+                SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+            ), clicks AS (
+                SELECT user_id, ts, max(event_id) AS click_id FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.user_id, p.event_id, c.click_id AS asof_click_id
+            FROM purchases p ASOF LEFT JOIN clicks c
+                 ON p.user_id = c.user_id AND c.ts <= p.ts
         """,
         "q_asof_prior_click": """
             SELECT user_id, event_id, prior_click FROM (

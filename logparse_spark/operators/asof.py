@@ -1,0 +1,89 @@
+"""As-of join (SURVEY.md §2.3 theta/range/as-of row): for each left row,
+the latest right row with right.ts <= left.ts within the same key.
+
+Two implementations, trading generality for plan shape:
+
+1. ``asof_join_union``: pure DataFrame composition — union the two
+   sides tagged, one window pass carries the last right value forward.
+   One shuffle on (key), no UDF, scales like any window.
+2. ``asof_join_pandas``: ``applyInPandas`` + ``pd.merge_asof`` per key
+   group — the escape hatch shape for semantics Spark can't compose
+   (tolerance bands, nearest-direction, multi-column asof).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_union(
+    left: DataFrame, right: DataFrame, key: str, ts: str,
+    right_val: str, out_col: str | None = None,
+) -> DataFrame:
+    """left rows + latest-prior `right_val`; pure window composition."""
+    out_col = out_col or f"asof_{right_val}"
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_rv", F.lit(None).cast(
+        right.schema[right_val].dataType))
+    r_tag = right.select(
+        key, ts, F.col(right_val).alias("_rv")
+    ).withColumn("_side", F.lit(0))
+    merged = l_tag.select(key, ts, "_side", "_rv").unionByName(r_tag)
+    # right rows sort before left at equal ts (_side 0 < 1) -> "<=" semantics
+    w = (
+        Window.partitionBy(key).orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+    return (
+        left.join(
+            carried.where(F.col("_side") == 1).select(key, ts, out_col),
+            [key, ts],
+            "left",
+        )
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame, right: DataFrame, key: str, ts: str,
+    right_val: str, out_col: str | None = None,
+    tolerance=None,
+) -> DataFrame:
+    """pd.merge_asof per co-grouped key (Arrow-batched, never per-row).
+
+    The cogroup shuffles both sides by `key` once; inside each group
+    pandas does the sorted asof merge in C.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    out_col = out_col or f"asof_{right_val}"
+    # build a FRESH StructType: StructType.add mutates the df's schema
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(out_col, right.schema[right_val].dataType)]
+    )
+
+    # rename the right side internally: shared column names across the
+    # two cogroup children trip Catalyst's column pruning (it rewrites
+    # the right child's projection and drops the ts column)
+    r = right.select(
+        F.col(key).alias("_rk"), F.col(ts).alias(ts).alias("_rts"),
+        F.col(right_val).alias("_rv"),
+    )
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_sorted = l_pdf.sort_values(ts)
+        if r_pdf.empty:
+            l_sorted[out_col] = None
+            return l_sorted
+        r_sorted = r_pdf[["_rts", "_rv"]].sort_values("_rts").rename(
+            columns={"_rts": ts, "_rv": out_col})
+        kwargs = {"tolerance": tolerance} if tolerance is not None else {}
+        return pd.merge_asof(l_sorted, r_sorted, on=ts, direction="backward", **kwargs)
+
+    return (
+        left.groupBy(key)
+        .cogroup(r.groupBy("_rk"))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -48,6 +48,10 @@ def get_spark(
         # harmless at test scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # v2 committer: task-side renames (parallel) instead of a
+        # sequential driver-side commit — with thousands of sink
+        # partition dirs the v1 commit is a serial bottleneck
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
