@@ -60,6 +60,38 @@ def route_stream(parsed: DataFrame, sinks_path: str, checkpoint: str):
     )
 
 
+def stateful_family_totals(parsed: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-(source, family) event totals maintained across
+    micro-batches — the arbitrary-state hook the built-in windowed aggs
+    can't express (e.g. monotone counters, EWMA, custom eviction).
+
+    Emits one row per key per micro-batch with the cumulative total and
+    the number of batches that key has appeared in.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdfs, state):
+        total, batches = state.get if state.exists else (0, 0)
+        rows = sum(len(p) for p in pdfs)
+        total += rows
+        batches += 1
+        state.update((total, batches))
+        yield pd.DataFrame(
+            {"source": [key[0]], "family": [key[1]],
+             "total": [total], "batches": [batches]}
+        )
+
+    return parsed.groupBy("source", "family").applyInPandasWithState(
+        update_totals,
+        outputStructType="source string, family string, total long, batches int",
+        stateStructType="total long, batches int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(spark: SparkSession, input_path: str, sinks_path: str,
                       checkpoint: str) -> None:
     """Bounded streaming run: process everything currently available."""

@@ -9,6 +9,7 @@ from logparse_spark.sources.datagen import generate_sequences
 from logparse_spark.streaming.pipeline import (
     parse_stream,
     run_available_now,
+    stateful_family_totals,
     stream_sequences,
     windowed_family_counts,
 )
@@ -62,3 +63,35 @@ def test_streaming_windowed_counts(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state must accumulate across micro-batches
+    (maxFilesPerTrigger=1 forces several) and the final totals must equal
+    the batch groupBy counts."""
+    inp = str(tmp_path / "in3")
+    ckpt = str(tmp_path / "ckpt3")
+    generate_sequences(spark, N, partitions=4).write.parquet(inp)
+
+    totals = stateful_family_totals(
+        parse_stream(stream_sequences(spark, inp, max_files_per_trigger=1))
+    )
+    q = (
+        totals.writeStream.format("memory").queryName("state_totals")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from state_totals").collect()
+    # multiple micro-batches actually happened for at least the hot source
+    assert max(r["batches"] for r in emitted) > 1
+    final = {}
+    for r in emitted:  # last emission per key carries the running total
+        k = (r["source"], r["family"])
+        if k not in final or r["batches"] > final[k][1]:
+            final[k] = (r["total"], r["batches"])
+    want = {
+        (r["source"], r["family"]): r["cnt"]
+        for r in parse_sequences(spark.read.parquet(inp))
+        .groupBy("source", "family").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert {k: v[0] for k, v in final.items()} == want
