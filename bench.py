@@ -11,11 +11,11 @@ plus the heavier relational/training-data queries over
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].
 
-Scaling mode (the N vs 4N executor proxy, BASELINE.md):
+Scaling mode (the N vs 4N executor proxy, BENCH/BASELINE.md):
     python bench.py --scaling
-      -> runs the pipeline at local[8] and local[32] on the SAME
-         pre-materialized input, reports rows/s at both and
-         eff = thr32 / (4 * thr8); writes BENCH/BASELINE.md.
+      -> runs the pipeline at local[4/8/16/32] on the SAME
+         pre-materialized input, reports rows/s per leg and the
+         efficiency of every 4x pair; writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -81,7 +81,7 @@ def run_pipeline_once(spark, corpus_path: str, out: str) -> tuple[float, int]:
     seq = spark.read.parquet(corpus_path).drop("bucket")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    metrics = run_pipeline(spark, seq, out, n_buckets=4, resume=False,
+    metrics = run_pipeline(spark, seq, out, n_buckets=2, resume=False,
                            input_clustered=False)
     dt = time.time() - t0
     return dt, int(metrics["routed_rows"])
