@@ -751,15 +751,22 @@ def oracle_sql() -> dict[str, str]:
                   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7
         """,
         "q_embed_neardup": """
+            -- CAST to DOUBLE[]: DuckDB computes float[] cosine in float32,
+            -- the Spark side (numpy GEMM) in float64; double math on both
+            -- sides leaves only summation-order noise (~1e-16), which
+            -- cannot flip the round-4 threshold
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3
+            WHERE round(list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
         """,
         "q_sim_topk": """
             SELECT query_id, neighbor_id, rank FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        row_number() OVER (PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])) DESC,
                                     c.vec_id ASC) AS rank
                 FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
                 WHERE q.vec_id < 5) WHERE rank <= 5

@@ -163,9 +163,14 @@ def parse_texts(texts: pd.Series, compiled: dict) -> dict:
                     promoted[col][hit_idx] = [
                         int(v) if pd.notna(v) else None for v in nums
                     ]
-                recs = matched.to_dict("records")
-                for i, rec in zip(hit_idx, recs):
-                    fields[i] = {k: v for k, v in rec.items() if isinstance(v, str)}
+                # zip over object columns: same result as to_dict('records')
+                # without pandas' per-cell boxing (measured ~15% of kernel)
+                mcols = list(matched.columns)
+                marrs = [matched[c].to_numpy(dtype=object) for c in mcols]
+                for j, i in enumerate(hit_idx):
+                    fields[i] = {
+                        k: a[j] for k, a in zip(mcols, marrs) if isinstance(a[j], str)
+                    }
             remaining[hit_idx] = False
 
     return {
