@@ -35,6 +35,19 @@ from logparse_spark.session import get_spark
 from logparse_spark.sources.datagen import generate_sequences, nodes_dim, write_sequences
 
 
+def _input_bytes(df) -> int:
+    """Best-effort scanned-input size (local paths; 0 when unknowable)."""
+    try:
+        total = 0
+        for f in df.inputFiles():
+            p = f.replace("file:", "")
+            if os.path.isfile(p):
+                total += os.path.getsize(p)
+        return total
+    except Exception:  # noqa: BLE001 - non-file sources
+        return 0
+
+
 def run_pipeline(
     spark,
     sequences_df,
@@ -45,11 +58,20 @@ def run_pipeline(
     repartition_to: int | None = None,
     fail_after_partitions: int | None = None,
     input_clustered: bool = False,
+    cache_mode: str = "auto",
 ) -> dict:
     """Run the full pipeline; returns the Observation metrics dict.
 
     `fail_after_partitions` (tests only) processes just K pending
     partitions then stops — simulating a mid-run crash for resume tests.
+
+    `cache_mode` picks how the metric aggregations see the parsed data:
+    - "full": persist the whole enriched frame (cache fills during the
+      route action's map side — zero extra parse; best when it fits RAM)
+    - "narrow": after the route write, one extra parse pass fills a
+      ~100-bytes/row projection cache (best when full rows would spill:
+      measured at 10M rows the full persist costs ~25% of wall clock)
+    - "auto": "narrow" when the scanned input exceeds ~2 GB, else "full"
     """
     run_id = uuid.uuid4().hex[:12]
     t0 = time.time()
@@ -91,25 +113,44 @@ def run_pipeline(
 
     from logparse_spark.operators.aggregate import grain_counts
 
-    # persisting the FULL enriched frame fills its cache during the route
-    # action's map side (no extra parse pass); the metric aggregations
-    # then read the cache (measured faster than a narrow re-parse)
-    enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_mode == "auto":
+        # threshold on COMPRESSED scan bytes; token sequences expand
+        # ~6-10x from parquet to in-memory rows
+        cache_mode = "narrow" if _input_bytes(sequences_df) > 512 << 20 else "full"
+
+    if cache_mode == "full":
+        # full-frame persist fills during the route action's map side —
+        # zero extra parse; the metric aggregations read the cache
+        metric_src = enriched
+        enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        metric_src = None  # built after the route action
+
     try:
         route(enriched, f"{out}/sinks", n_buckets=n_buckets,
               cluster=not input_clustered)  # the one big action
         metrics = dict(obs.get)
 
-        grain = grain_counts(enriched).cache()
-        write_metrics(enriched, f"{out}/metrics", grain=grain)
-        write_manifests(enriched, f"{out}/manifests", grain=grain)
+        if metric_src is None:
+            # narrow mode: one extra parse pass fills a tiny projection
+            # cache instead of spilling full rows to disk
+            metric_src = enriched.select(
+                "doc_id", "source", "bucket", "family", "rule_id", "level",
+                "n_tok", "duration_ms", "bytes_in", "bytes_out", "count",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        grain = grain_counts(metric_src).cache()
+        write_metrics(metric_src, f"{out}/metrics", grain=grain)
+        write_manifests(metric_src, f"{out}/manifests", grain=grain)
         ledger.commit(
-            partition_manifests(enriched, grain=grain)
+            partition_manifests(metric_src, grain=grain)
             .select("source", "bucket", F.col("routed_rows").alias("rows")),
             run_id,
         )
         grain.unpersist()
     finally:
+        if metric_src is not None:
+            metric_src.unpersist()
         enriched.unpersist()
 
     metrics["wall_sec"] = time.time() - t0
