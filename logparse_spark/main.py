@@ -161,6 +161,8 @@ def run_pipeline(
 def main() -> None:
     ap = argparse.ArgumentParser(description="logparse_spark pipeline")
     ap.add_argument("--input", help="path to sequences parquet (else synthetic)")
+    ap.add_argument("--raw-logs", help="glob of raw system.log text files "
+                    "(the reference's `python systemlog.py < system.log` mode)")
     ap.add_argument("--rows", type=int, default=100_000, help="synthetic row count")
     ap.add_argument("--out", required=True)
     ap.add_argument("--cores", type=int, default=None)
@@ -171,7 +173,11 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(cores=args.cores)
-    if args.input:
+    if args.raw_logs:
+        from logparse_spark.sources.rawlog import raw_logs_to_sequences
+
+        seq = raw_logs_to_sequences(spark, args.raw_logs)
+    elif args.input:
         seq = spark.read.parquet(args.input)
         if "bucket" in seq.columns:
             seq = seq.drop("bucket")  # recomputed from doc_id (layout-independent)
