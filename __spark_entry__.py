@@ -191,6 +191,19 @@ def q_cube(spark, sf):
     )
 
 
+def q_grouping_sets(spark, sf):
+    """GROUPING SETS: independent per-flag and per-status totals in one
+    pass (SQL surface — the DataFrame API covers rollup/cube above)."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               grouping(l_returnflag)*2 + grouping(l_linestatus) AS gid
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+
+
 def q_distinct_agg(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy("event_type").agg(
@@ -511,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_analytic": q_window_analytic,
         "q_rollup": q_rollup,
         "q_cube": q_cube,
+        "q_grouping_sets": q_grouping_sets,
         "q_distinct_agg": q_distinct_agg,
         "q_sort_limit": q_sort_limit,
         "q_set_ops": q_set_ops,
@@ -630,6 +644,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS cnt,
                    grouping(l_returnflag)*2 + grouping(l_linestatus) AS gid
             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "q_grouping_sets": """
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   grouping(l_returnflag)*2 + grouping(l_linestatus) AS gid
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """,
         "q_distinct_agg": """
             SELECT event_type, count(DISTINCT user_id) AS uniq_users, count(*) AS cnt,
