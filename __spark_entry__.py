@@ -494,6 +494,35 @@ def q_pipeline_histogram(spark, sf):
     )
 
 
+def q_pipeline_topk_rules(spark, sf):
+    """Top-3 noisiest rules per source over the parsed pipeline output
+    (window ranking on engine data; rows-only — non-SQL source)."""
+    parsed = parse_sequences(generate_sequences(spark, 5000))
+    hist = parsed.groupBy("source", "rule_id").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("rule_id"))
+    return (
+        hist.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("source", "rule_id", "cnt", "rnk")
+    )
+
+
+def q_pipeline_gc_running(spark, sf):
+    """GC-pause running stats per source over the TYPED gc family view
+    (lag + moving average on promoted duration; rows-only)."""
+    from logparse_spark.operators.views import typed_view
+
+    parsed = parse_sequences(generate_sequences(spark, 5000))
+    gc = typed_view(parsed, "gc").where(F.col("rule_id") == 1)
+    w = Window.partitionBy("source").orderBy("ts", "doc_id")
+    wavg = w.rowsBetween(-4, Window.currentRow)
+    return gc.select(
+        "source", "doc_id", "duration",
+        F.lag("duration").over(w).alias("prev_duration"),
+        F.round(F.avg("duration").over(wavg), 2).alias("moving_avg_5"),
+    )
+
+
 def q_multimodal_features(spark, sf):
     media = mm.synth_media(spark, n=96)
     feats = mm.extract_features(media)
@@ -553,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_tokens": q_text_tokens,
         "q_text_fingerprint": q_text_fingerprint,
         "q_pipeline_histogram": q_pipeline_histogram,
+        "q_pipeline_topk_rules": q_pipeline_topk_rules,
+        "q_pipeline_gc_running": q_pipeline_gc_running,
         "q_multimodal_features": q_multimodal_features,
         "q_approx_distinct": q_approx_distinct,
     }

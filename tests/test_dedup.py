@@ -34,6 +34,18 @@ def test_minhash_lsh_finds_planted_pair(spark):
     assert ("d4", "d5") not in pairs
 
 
+def test_minhash_sql_impl_agrees_on_planted_pairs(spark):
+    """The pure-SQL implementation is a different hash family but must
+    find the same planted near-dups."""
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dd.minhash_lsh_candidates(
+                 _docs(spark), shingle_n=2, num_hashes=32, bands=16,
+                 impl="sql").collect()}
+    assert ("d1", "d2") in pairs
+    assert ("d1", "d3") in pairs
+    assert ("d4", "d5") not in pairs
+
+
 def test_minhash_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, dd.minhash_lsh_candidates(_docs(spark).repartition(1)).collect()))
     b = sorted(map(tuple, dd.minhash_lsh_candidates(_docs(spark).repartition(5)).collect()))
