@@ -129,7 +129,13 @@ def run_pipeline(
     try:
         route(enriched, f"{out}/sinks", n_buckets=n_buckets,
               cluster=not input_clustered)  # the one big action
-        metrics = dict(obs.get)
+        try:
+            metrics = dict(obs.get)
+        except Exception:  # noqa: BLE001 - zero-row plans never run the
+            # CollectMetrics node (AQE empty-relation), so the
+            # Observation has nothing to report
+            metrics = {"routed_rows": 0, "total_tokens": 0,
+                       "unknown_rows": 0, "families": 0}
 
         if metric_src is None:
             # narrow mode: one extra parse pass fills a tiny projection
