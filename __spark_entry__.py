@@ -80,6 +80,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DEC = "decimal(18,2)"
+# The driver's value hash is sensitive to the physical result type
+# (VERDICT r1): every computed decimal aggregate is pinned to an explicit
+# identical type on BOTH engines — plain sums to DECIMAL(38,2), product
+# sums to DECIMAL(38,4) — and DuckDB's HUGEINT sums are CAST to BIGINT.
+DEC38 = "decimal(38,2)"
 
 
 def q_pricing_summary(spark, sf):
@@ -89,12 +94,12 @@ def q_pricing_summary(spark, sf):
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC38).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC38).alias("sum_base_price"),
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
-            ).alias("sum_disc_price"),
+            ).cast("decimal(38,4)").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -103,7 +108,7 @@ def q_pricing_summary(spark, sf):
 def q_filter_project(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.where((F.col("event_type") == "click") & (F.col("value") > 100)).select(
-        "event_id", "user_id", (F.col("value").cast(DEC) * 2).alias("value2x")
+        "event_id", "user_id", (F.col("value").cast(DEC) * 2).cast(DEC38).alias("value2x")
     )
 
 
@@ -115,7 +120,7 @@ def q_broadcast_join(spark, sf):
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("customers"),
-            F.sum(F.col("c_acctbal").cast(DEC)).alias("total_acctbal"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast(DEC38).alias("total_acctbal"),
         )
     )
 
@@ -157,7 +162,7 @@ def q_window_rank(spark, sf):
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
-        ev.withColumn("rnk", F.row_number().over(w))
+        ev.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 3)
         .select("user_id", "event_id", "rnk")
     )
@@ -171,7 +176,7 @@ def q_window_analytic(spark, sf):
         "user_id",
         "event_id",
         F.lag("event_id").over(w).alias("prev_event_id"),
-        F.sum(F.col("value").cast(DEC)).over(wsum).alias("running_value"),
+        F.sum(F.col("value").cast(DEC)).over(wsum).cast(DEC38).alias("running_value"),
     )
 
 
@@ -179,7 +184,7 @@ def q_rollup(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.rollup("event_type").agg(
         F.count("*").alias("cnt"),
-        F.sum(F.col("value").cast(DEC)).alias("total_value"),
+        F.sum(F.col("value").cast(DEC)).cast(DEC38).alias("total_value"),
         F.grouping_id().alias("gid"),
     )
 
@@ -197,8 +202,8 @@ def q_grouping_sets(spark, sf):
     _t(spark, sf, "lineitem").createOrReplaceTempView("li_gs")
     return spark.sql("""
         SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               grouping(l_returnflag)*2 + grouping(l_linestatus) AS gid
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid
         FROM li_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
     """)
@@ -234,11 +239,16 @@ def q_set_ops(spark, sf):
 def q_pivot(spark, sf):
     ev = _t(spark, sf, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    return (
+    piv = (
         ev.withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(10)))
         .groupBy("user_bucket")
         .pivot("event_type", types)
         .count()
+    )
+    # empty (bucket, type) cells pivot to NULL; the oracle's count(*)
+    # FILTER yields 0 — align on 0 so sparse data can't flip the hash
+    return piv.select(
+        "user_bucket", *[F.coalesce(F.col(t), F.lit(0).cast("bigint")).alias(t) for t in types]
     )
 
 
@@ -259,17 +269,21 @@ def q_string_fns(spark, sf):
         "c_custkey",
         F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
         F.concat_ws("|", F.col("c_mktsegment"), F.trim(F.lower("c_name"))).alias("tagged"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("bigint").alias("name_len"),
     )
 
 
 def q_datetime_fns(spark, sf):
     o = _t(spark, sf, "orders")
     return (
-        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        o.groupBy(
+            # date_trunc promotes timestamp_ntz -> session-tz timestamp;
+            # cast back so the Arrow type matches DuckDB's tz-less TIMESTAMP
+            F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month")
+        )
         .agg(
             F.count("*").alias("orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("monthly_total"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC38).alias("monthly_total"),
         )
     )
 
@@ -280,7 +294,10 @@ def q_json_fns(spark, sf):
     return (
         ev.withColumn("k_bucket", F.pmod(k, F.lit(10)))
         .groupBy("k_bucket")
-        .agg(F.count("*").alias("cnt"), F.sum(F.col("value").cast(DEC)).alias("total_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC38).alias("total_value"),
+        )
     )
 
 
@@ -288,8 +305,8 @@ def q_array_fns(spark, sf):
     em = _t(spark, sf, "embeddings")
     return em.groupBy("label").agg(
         F.count("*").alias("cnt"),
-        F.max(F.size("embedding")).alias("dim"),
-        F.max(F.size(F.slice("embedding", 1, 8))).alias("slice_dim"),
+        F.max(F.size("embedding")).cast("bigint").alias("dim"),
+        F.max(F.size(F.slice("embedding", 1, 8))).cast("bigint").alias("slice_dim"),
     )
 
 
@@ -340,7 +357,7 @@ def q_session_window(spark, sf):
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("events"),
-             F.sum(F.col("value").cast(DEC)).alias("session_value"))
+             F.sum(F.col("value").cast(DEC)).cast(DEC38).alias("session_value"))
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
@@ -431,7 +448,7 @@ def q_sim_topk(spark, sf):
     em = _t(spark, sf, "embeddings")
     queries = em.where(F.col("vec_id") < 5)
     return sim.brute_force_topk(em, queries, k=5).select(
-        "query_id", "neighbor_id", "rank"
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
     )
 
 
@@ -459,10 +476,10 @@ def q_text_quality(spark, sf):
     n_words = tx.whitespace_token_count(t)
     return docs.select(
         "doc_id",
-        n_chars.alias("q_n_chars"),
-        n_words.alias("q_n_words"),
-        F.regexp_count(t, F.lit(r"[^\w\s]")).alias("punct_cnt"),
-        F.regexp_count(t, F.lit(r"[A-Z]")).alias("upper_cnt"),
+        n_chars.cast("bigint").alias("q_n_chars"),
+        n_words.cast("bigint").alias("q_n_words"),
+        F.regexp_count(t, F.lit(r"[^\w\s]")).cast("bigint").alias("punct_cnt"),
+        F.regexp_count(t, F.lit(r"[A-Z]")).cast("bigint").alias("upper_cnt"),
         (n_chars / n_words).alias("mean_word_len"),
     )
 
@@ -616,21 +633,22 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
         "q_filter_project": """
-            SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) * 2 AS value2x
+            SELECT event_id, user_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 2 AS DECIMAL(38,2)) AS value2x
             FROM events WHERE event_type = 'click' AND value > 100
         """,
         "q_broadcast_join": """
             SELECT r_name, n_name, count(*) AS customers,
-                   sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
                           JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
@@ -661,13 +679,13 @@ def oracle_sql() -> dict[str, str]:
         "q_window_analytic": """
             SELECT user_id, event_id,
                    lag(event_id) OVER w AS prev_event_id,
-                   sum(CAST(value AS DECIMAL(18,2)))
-                       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "q_rollup": """
             SELECT event_type, count(*) AS cnt,
-                   sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
                    grouping(event_type) AS gid
             FROM events GROUP BY ROLLUP(event_type)
         """,
@@ -678,7 +696,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_grouping_sets": """
             SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
                    grouping(l_returnflag)*2 + grouping(l_linestatus) AS gid
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
@@ -720,12 +738,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_datetime_fns": """
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS orders,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_total
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS monthly_total
             FROM orders GROUP BY date_trunc('month', o_orderdate)
         """,
         "q_json_fns": """
             SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
-                   count(*) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+                   count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
             FROM events GROUP BY 1
         """,
         "q_array_fns": """
@@ -741,8 +760,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_map_fns": """
             SELECT user_id,
-                   sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS clicks,
-                   sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS errors,
+                   CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+                   CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
                    2 AS map_size
             FROM events GROUP BY user_id
         """,
@@ -769,7 +788,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start,
                    max(ts) + INTERVAL 30 MINUTE AS session_end,
                    count(*) AS events,
-                   sum(CAST(value AS DECIMAL(18,2))) AS session_value
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
             FROM s GROUP BY user_id, sid
         """,
         "q_asof_join": """
@@ -841,8 +860,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_text_tokens": """
             SELECT lang,
-                   sum(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> ''))) AS ws_tokens,
-                   sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_tokens
+                   CAST(sum(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> ''))) AS BIGINT) AS ws_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
             FROM documents GROUP BY lang
         """,
         "q_text_fingerprint": """

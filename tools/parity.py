@@ -1,18 +1,28 @@
-"""Local replica of the driver's correctness gate: run every
-__spark_entry__ query on Spark AND its DuckDB oracle, compare row
-count, schema (sorted column names) and order-insensitive values.
+"""Local replica of the driver's correctness gate — STRICT edition.
+
+Round-1 lesson (VERDICT.md "What's wrong" #1): the driver's hash is
+sensitive to the *physical result type*, not just the values — Spark
+``sum(decimal(18,2))`` -> decimal(28,2) hash-mismatched DuckDB's
+DECIMAL(38,2) even with equal values.  This gate therefore compares:
+
+  1. row count,
+  2. sorted column names,
+  3. normalized Arrow column types (decimal precision/scale, int width,
+     timestamp tz-ness all significant; string/large_string unified),
+  4. exact canonical values (Decimal compared as exact scaled strings,
+     floats bit-exact, timestamps ISO-formatted including tz).
 
 Usage:  python tools/parity.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
-from datetime import datetime
+from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, ".")
 
@@ -25,38 +35,57 @@ TABLES = [
 ]
 
 
+def norm_type(t: pa.DataType) -> pa.DataType:
+    """Unify Arrow encodings that differ without semantic meaning.
+
+    Deliberately PRESERVED distinctions (the driver sees them): decimal
+    precision+scale, integer width, timestamp tz presence, date vs ts.
+    """
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_dictionary(t):
+        return norm_type(t.value_type)
+    if (pa.types.is_large_list(t) or pa.types.is_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        return pa.list_(norm_type(t.value_type))
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us", tz="UTC" if t.tz else None)
+    if pa.types.is_date(t):
+        return pa.date32()
+    if pa.types.is_decimal(t):
+        return pa.decimal128(t.precision, t.scale)
+    return t
+
+
 def canon(v):
+    """Exact canonical value — NO tolerance, NO type coercion."""
     if v is None:
         return None
     if isinstance(v, Decimal):
-        return float(v)
+        return ("dec", str(v))
     if isinstance(v, float):
-        return v
+        return ("f64", v)
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("ts", v.isoformat())
+    if isinstance(v, date):
+        return ("date", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("bin", bytes(v).hex())
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
     return v
 
 
-def rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
-
-
-def values_match(a, b, rel=1e-9):
-    if len(a) != len(b):
-        return False
-    for ra, rb in zip(a, b):
-        for va, vb in zip(ra, rb):
-            if va is None and vb is None:
-                continue
-            if isinstance(va, float) and isinstance(vb, float):
-                if math.isclose(va, vb, rel_tol=rel, abs_tol=1e-9):
-                    continue
-                return False
-            if va != vb:
-                return False
-    return True
+def table_fingerprint(tbl: pa.Table):
+    """(sorted cols, normalized dtypes by col, sorted canonical rows)."""
+    cols = sorted(tbl.column_names)
+    dtypes = {c: str(norm_type(tbl.schema.field(c).type)) for c in tbl.column_names}
+    data = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+    rows = [tuple(canon(data[c][i]) for c in cols) for i in range(tbl.num_rows)]
+    rows.sort(key=lambda t: tuple(repr(x) for x in t))
+    return cols, dtypes, rows
 
 
 def main() -> int:
@@ -74,46 +103,56 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            stbl = sdf.toArrow()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error {str(e)[:300]}")
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows)")
-            if len(srows) == 0:
+            print(f"ok   {name}: rows-only ({stbl.num_rows} rows)")
+            if stbl.num_rows == 0:
                 failures.append(name)
                 print(f"FAIL {name}: 0 rows on rows-only query")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = [c.lower() for c in rel.columns]
-            drows = rel.fetchall()
+            dtbl = con.sql(oracles[name]).arrow()
+            if isinstance(dtbl, pa.RecordBatchReader):
+                dtbl = dtbl.read_all()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error {str(e)[:300]}")
             continue
-        sc, sv = rowset([c.lower() for c in scols], [tuple(r) for r in srows])
-        dc, dv = rowset(dcols, drows)
-        if sc != dc:
+        sc, sdt, sv = table_fingerprint(stbl)
+        dc, ddt, dv = table_fingerprint(dtbl)
+        sc_l, dc_l = [c.lower() for c in sc], [c.lower() for c in dc]
+        if sc_l != dc_l:
             failures.append(name)
             print(f"FAIL {name}: schema {sc} != {dc}")
-        elif len(sv) != len(dv):
+            continue
+        bad_types = [
+            (c, sdt[cs], ddt[cd])
+            for c, cs, cd in zip(sc_l, sc, dc)
+            if sdt[cs] != ddt[cd]
+        ]
+        if bad_types:
+            failures.append(name)
+            print(f"FAIL {name}: dtype mismatch {bad_types}")
+            continue
+        if len(sv) != len(dv):
             failures.append(name)
             print(f"FAIL {name}: rowcount {len(sv)} != {len(dv)}")
-        elif not values_match(sv, dv):
+        elif sv != dv:
             failures.append(name)
-            diff_shown = 0
+            shown = 0
             for ra, rb in zip(sv, dv):
-                if not values_match([ra], [rb]):
+                if ra != rb:
                     print(f"  spark={ra}\n  duck ={rb}")
-                    diff_shown += 1
-                    if diff_shown >= 3:
+                    shown += 1
+                    if shown >= 3:
                         break
             print(f"FAIL {name}: values differ ({len(sv)} rows)")
         else:
-            print(f"PASS {name} ({len(sv)} rows)")
+            print(f"PASS {name} ({len(sv)} rows, dtypes exact)")
     spark.stop()
     print(f"\n{'ALL GREEN' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0
