@@ -420,28 +420,38 @@ def q_dedup_jaccard(spark, sf):
 
 
 def q_dedup_minhash(spark, sf):
+    """MinHash-LSH candidates -> exact word-Jaccard verify (>= 0.8):
+    the production candidate->verify shape, exactly oracle-checkable.
+    r=3, b=28 banding misses a J=0.8 pair w.p. (1-.8^3)^28 ~ 2e-9 —
+    across the ~32k true pairs at sf0.01 that is ~1e-4 total, so the
+    verified LSH output equals the quadratic ground truth."""
     docs = _t(spark, sf, "documents")
-    return dd.minhash_lsh_candidates(docs, shingle_n=3, num_hashes=32, bands=8)
+    return dd.minhash_near_dups(docs, num_hashes=84, bands=28, shingle_n=1,
+                                threshold=0.8)
 
 
 def q_dedup_simhash(spark, sf):
+    """60-bit md5-based SimHash (pure SQL) with pigeonhole banding +
+    exact hamming verify — DuckDB replicates the hash bit-for-bit."""
     docs = _t(spark, sf, "documents")
-    return dd.simhash_near_dups(docs, max_hamming=3)
+    return dd.simhash_near_dups(docs, max_hamming=3, impl="sql").select(
+        "id_a", "id_b"
+    )
 
 
 def q_embed_neardup(spark, sf):
-    """Exact cosine near-dup pairs (oracle-checkable) via broadcast
-    matrix + numpy GEMM — BLAS throughput, not per-pair lambdas; the
-    LSH-bucketed variant below is the unbounded-scale path."""
+    """Exact cosine near-dup pairs via the size-gated front door: small
+    inputs take the broadcast-GEMM path (BLAS throughput), anything past
+    the broadcast budget falls through to LSH buckets automatically."""
     em = _t(spark, sf, "embeddings")
-    return sim.all_pairs_cosine_gemm(em, min_cosine=0.3)
+    return sim.all_pairs_cosine(em, min_cosine=0.3)
 
 
 def q_embed_neardup_lsh(spark, sf):
     em = _t(spark, sf, "embeddings")
-    return dd.embedding_near_dups(em, dim=64, n_planes=10, min_cosine=0.3).select(
-        "id_a", "id_b"
-    )
+    return dd.embedding_near_dups(
+        em, dim=64, n_planes=10, min_cosine=0.3, round_to=4
+    ).select("id_a", "id_b")
 
 
 def q_sim_topk(spark, sf):
@@ -456,7 +466,7 @@ def q_sim_topk_ivf(spark, sf):
     em = _t(spark, sf, "embeddings")
     queries = em.where(F.col("vec_id") < 5)
     return sim.ivf_topk(em, queries, k=5, n_centroids=16, nprobe=4).select(
-        "query_id", "neighbor_id", "rank"
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
     )
 
 
@@ -550,6 +560,35 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_streaming_counts(spark, sf):
+    """Structured Streaming milestone made visible to the driver: a
+    bounded availableNow run of the SAME parse engine over a file-source
+    stream, watermarked windowed family counts into a memory sink
+    (rows-only — streaming state is not SQL-expressible in DuckDB)."""
+    import os
+    import tempfile
+    import uuid
+
+    from logparse_spark.sources.datagen import write_sequences
+    from logparse_spark.streaming.pipeline import (
+        parse_stream, stream_sequences, windowed_family_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="lp_stream_entry_")
+    inp = os.path.join(base, "seq")
+    write_sequences(spark, inp, 2000, n_buckets=2)
+    counts = windowed_family_counts(parse_stream(stream_sequences(spark, inp)))
+    name = f"q_streaming_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("family", "start")
+
+
 def q_approx_distinct(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy("event_type").agg(
@@ -602,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pipeline_topk_rules": q_pipeline_topk_rules,
         "q_pipeline_gc_running": q_pipeline_gc_running,
         "q_multimodal_features": q_multimodal_features,
+        "q_streaming_counts": q_streaming_counts,
         "q_approx_distinct": q_approx_distinct,
     }
 
@@ -627,6 +667,67 @@ _LANGID_CASE = (
     + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in _LANG_SQL_PROFILES)
     + " END"
 )
+
+
+def _embed_lsh_oracle(dim: int = 64, n_planes: int = 10, min_cosine: float = 0.3,
+                      seed: int = 42) -> str:
+    """Sign-LSH near-dup oracle with the SAME seed-derived hyperplanes
+    embedded as double literals (repr round-trips exactly)."""
+    from logparse_spark.operators.dedup import lsh_planes
+
+    planes = lsh_planes(dim, n_planes, seed)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+                   {bits} AS bucket
+            FROM embeddings
+        )
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {min_cosine}
+    """
+
+
+def _ivf_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
+    """IVF ANN replicated in SQL: deterministic seed centroids (first n
+    by id), rank-1 corpus assignment, nprobe-probe queries, in-bucket
+    exact cosine top-k.  Tie-breaks (cos DESC, cid ASC) match
+    similarity.assign_centroid's struct ordering."""
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+        ), ca AS (
+            SELECT id AS neighbor_id, v AS cv2, cid FROM (
+                SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                                    c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ), qa AS (
+            SELECT id AS query_id, v AS qv, cid FROM (
+                SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                                    c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5
+            ) WHERE rn <= {nprobe}
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, c.cv2) DESC,
+                                c.neighbor_id ASC) AS rank
+            FROM qa q JOIN ca c USING (cid)
+            WHERE q.query_id <> c.neighbor_id
+        ) WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -821,6 +922,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.ws, b.ws)) * 1.0
                   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7
         """,
+        # LSH candidates + exact verify == all pairs with exact word-set
+        # Jaccard >= 0.8 (banding recall ~1-3e-7 at r=3,b=21); the oracle
+        # is the quadratic ground truth the LSH path approximates
+        "q_dedup_minhash": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.ws, b.ws)) * 1.0
+                  / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+        """,
+        # identical 60-bit md5 simhash on both engines (first 15 hex
+        # chars of md5 -> BIGINT), then exact hamming <= 3
+        "q_dedup_simhash": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                          x -> x <> '')) AS word
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(word), 1, 15)) AS BIGINT) AS hv
+                FROM w
+            ), b AS (
+                SELECT doc_id, j,
+                       sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM h CROSS JOIN generate_series(0, 59) AS t(j)
+                GROUP BY doc_id, j
+            ), sh AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j)
+                                     ELSE 0 END) AS BIGINT) AS sh
+                FROM b GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+            FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+            WHERE bit_count(xor(a.sh, b2.sh)) <= 3
+        """,
+        "q_embed_neardup_lsh": _embed_lsh_oracle(),
         "q_embed_neardup": """
             -- CAST to DOUBLE[]: DuckDB computes float[] cosine in float32,
             -- the Spark side (numpy GEMM) in float64; double math on both
@@ -831,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
         """,
+        "q_sim_topk_ivf": _ivf_oracle(),
         "q_sim_topk": """
             SELECT query_id, neighbor_id, rank FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -869,8 +1009,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS uniq_fingerprints
             FROM documents GROUP BY source
         """,
-        # rows-only (non-SQL-expressible / approximate / LSH-seeded):
-        # q_dedup_minhash, q_dedup_simhash, q_embed_neardup_lsh,
-        # q_sim_topk_ivf, q_pipeline_histogram, q_multimodal_features,
-        # q_approx_distinct
+        # rows-only (non-SQL-expressible / approximate):
+        # q_pipeline_histogram, q_pipeline_topk_rules, q_pipeline_gc_running,
+        # q_multimodal_features, q_approx_distinct
     }

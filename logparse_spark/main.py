@@ -126,9 +126,12 @@ def run_pipeline(
     else:
         metric_src = None  # built after the route action
 
+    timings: dict[str, float] = {}
     try:
+        t_route = time.time()
         route(enriched, f"{out}/sinks", n_buckets=n_buckets,
               cluster=not input_clustered)  # the one big action
+        timings["route_sec"] = round(time.time() - t_route, 2)
         try:
             metrics = dict(obs.get)
         except Exception:  # noqa: BLE001 - zero-row plans never run the
@@ -145,6 +148,7 @@ def run_pipeline(
                 "n_tok", "duration_ms", "bytes_in", "bytes_out", "count",
             ).persist(StorageLevel.MEMORY_AND_DISK)
 
+        t_metrics = time.time()
         grain = grain_counts(metric_src).cache()
         write_metrics(metric_src, f"{out}/metrics", grain=grain)
         write_manifests(metric_src, f"{out}/manifests", grain=grain)
@@ -154,6 +158,7 @@ def run_pipeline(
             run_id,
         )
         grain.unpersist()
+        timings["metrics_sec"] = round(time.time() - t_metrics, 2)
     finally:
         if metric_src is not None:
             metric_src.unpersist()
@@ -161,6 +166,7 @@ def run_pipeline(
 
     metrics["wall_sec"] = time.time() - t0
     metrics["run_id"] = run_id
+    metrics.update(timings)
     return metrics
 
 

@@ -21,27 +21,36 @@ def asof_join_union(
     left: DataFrame, right: DataFrame, key: str, ts: str,
     right_val: str, out_col: str | None = None,
 ) -> DataFrame:
-    """left rows + latest-prior `right_val`; pure window composition."""
+    """left rows + latest-prior `right_val`; pure window composition.
+
+    The left payload rides THROUGH the union and window (right rows get
+    typed nulls for the left-only columns), so there is no join back at
+    all — one shuffle, and duplicate left (key, ts) rows cannot
+    cross-product (they each keep their own row).  A surrogate-id join
+    is not an option: monotonically_increasing_id is not stable across
+    two AQE evaluations of the same subtree.
+    """
     out_col = out_col or f"asof_{right_val}"
-    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_rv", F.lit(None).cast(
-        right.schema[right_val].dataType))
+    rv_type = right.schema[right_val].dataType
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_rv", F.lit(None).cast(rv_type)
+    )
     r_tag = right.select(
-        key, ts, F.col(right_val).alias("_rv")
-    ).withColumn("_side", F.lit(0))
-    merged = l_tag.select(key, ts, "_side", "_rv").unionByName(r_tag)
+        F.col(key), F.col(ts),
+        F.lit(0).alias("_side"), F.col(right_val).alias("_rv"),
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in left.schema.fields if f.name not in (key, ts)
+        ],
+    )
+    merged = l_tag.unionByName(r_tag)
     # right rows sort before left at equal ts (_side 0 < 1) -> "<=" semantics
     w = (
         Window.partitionBy(key).orderBy(ts, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
-    return (
-        left.join(
-            carried.where(F.col("_side") == 1).select(key, ts, out_col),
-            [key, ts],
-            "left",
-        )
-    )
+    return carried.where(F.col("_side") == 1).drop("_side", "_rv")
 
 
 def asof_join_pandas(

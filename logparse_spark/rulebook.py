@@ -410,11 +410,569 @@ RULES: list[Rule] = [
         r"^\[repair #(?P<session_id>[^\]]+)\] session completed successfully$",
         event_category="repair", event_type="session_end",
     ),
+    # =======================================================================
+    # Version-variant + long-tail rules (systemlog.py §capture_message
+    # [R-H] — the reference's ~300-rule table spans Cassandra 1.2/2.0/
+    # 2.1/2.2/3.x formats; each rule below is a re-derived public log
+    # shape with a literal fixture line in tests/test_rules.py).
+    # Declaration order within a class == first-match priority.
+    # =======================================================================
+    # --- GCInspector variants ------------------------------------------------
+    Rule(
+        3, "GCInspector", "gc",
+        r"^(?P<gc_type>\w+) GC in (?P<duration>\d+)ms\.\s+CMS Old Gen: "
+        r"(?P<old_before>\d+) -> (?P<old_after>\d+); Par Eden Space: "
+        r"(?P<eden_before>\d+) -> (?P<eden_after>\d+); Par Survivor Space: "
+        r"(?P<surv_before>\d+) -> (?P<surv_after>\d+)$",
+        converters={k: "int" for k in (
+            "duration", "old_before", "old_after", "eden_before", "eden_after",
+            "surv_before", "surv_after")},
+        promote={"duration": "duration_ms"},
+        event_category="garbage_collection", event_type="pause",
+    ),
+    Rule(
+        4, "GCInspector", "gc",
+        r"^G1 (?P<generation>\w+) Generation GC in (?P<duration>\d+)ms\.\s+"
+        r"G1 Eden Space: (?P<eden_before>\d+) -> (?P<eden_after>\d+);"
+        r"(?P<other_spaces>.*)$",
+        converters={"duration": "int", "eden_before": "int", "eden_after": "int"},
+        promote={"duration": "duration_ms"},
+        event_category="garbage_collection", event_type="pause",
+    ),
+    Rule(
+        5, "GCInspector", "gc",
+        r"^Heap is (?P<heap_fraction>[\d.]+) full\..*$",
+        converters={"heap_fraction": "float"},
+        event_category="garbage_collection", event_type="heap_pressure",
+    ),
+    Rule(
+        6, "GCInspector", "gc",
+        # generic 2.1+ "<collector> GC in Nms. <spaces>" fallback — MUST
+        # stay after the specific CMS/G1 shapes above
+        r"^(?P<gc_type>\w+) GC in (?P<duration>\d+)ms\.\s+(?P<spaces>.+)$",
+        converters={"duration": "int"},
+        promote={"duration": "duration_ms"},
+        event_category="garbage_collection", event_type="pause",
+    ),
+    # --- StatusLogger full dump ---------------------------------------------
+    Rule(
+        51, "StatusLogger", "status",
+        r"^Pool Name\s+Active\s+Pending\s+Completed\s+Blocked\s+All Time Blocked$",
+        event_category="status", event_type="threadpool_header",
+    ),
+    Rule(
+        52, "StatusLogger", "status",
+        r"^(?P<cache_type>\w+Cache)\s{2,}(?P<size>\d+)\s+(?P<capacity>\d+)\s+"
+        r"(?P<keys_to_save>\S+)$",
+        converters={"size": "int", "capacity": "int"},
+        event_category="status", event_type="cache",
+    ),
+    Rule(
+        53, "StatusLogger", "status",
+        r"^ColumnFamily\s+Memtable ops,data$",
+        event_category="status", event_type="memtable_header",
+    ),
+    Rule(
+        54, "StatusLogger", "status",
+        r"^(?P<keyspace_table>\S+\.\S+)\s{2,}(?P<ops>[\d,]+),(?P<data>[\d,]+)$",
+        converters={"ops": "comma_int", "data": "comma_int"},
+        event_category="status", event_type="memtable",
+    ),
+    # --- compaction variants --------------------------------------------------
+    Rule(
+        12, "CompactionTask", "compaction",
+        # 3.x: task id + level + unit-suffixed throughputs
+        r"^Compacted \((?P<task_id>[^)]+)\) (?P<sstable_count>\d+) sstables to "
+        r"\[(?P<output_sstable>[^\]]*)\] to level=(?P<level>\d+)\.\s+"
+        r"(?P<input_bytes>[\d,]+) bytes to (?P<output_bytes>[\d,]+) "
+        r"\(~(?P<percent_of_original>\d+)% of original\) in (?P<duration>[\d,]+)ms\.\s+"
+        r"Read Throughput = (?P<read_rate>[\d.,]+)(?P<read_unit>\w+)/s, "
+        r"Write Throughput = (?P<write_rate>[\d.,]+)(?P<write_unit>\w+)/s, "
+        r"Row Throughput = ~(?P<row_rate>[\d,]+)/s\.\s+"
+        r"(?P<total_partitions>[\d,]+) total partitions merged to "
+        r"(?P<partitions_merged>[\d,]+)\.\s+Partition merge counts were "
+        r"\{(?P<merge_counts>[^}]*)\}$",
+        converters={
+            "sstable_count": "int", "level": "int", "input_bytes": "comma_int",
+            "output_bytes": "comma_int", "percent_of_original": "int",
+            "duration": "comma_int", "total_partitions": "comma_int",
+            "partitions_merged": "comma_int",
+        },
+        promote={"duration": "duration_ms", "input_bytes": "bytes_in",
+                 "output_bytes": "bytes_out"},
+        event_category="compaction", event_type="end",
+    ),
+    Rule(
+        15, "CompactionTask", "compaction",
+        # 2.1+: begin with task id
+        r"^Compacting \((?P<task_id>[^)]+)\) \[(?P<input_sstables>SSTableReader\(.*)\]$",
+        event_category="compaction", event_type="begin",
+    ),
+    Rule(
+        13, "LeveledManifest", "compaction",
+        r"^Adding high-level \(L(?P<level>\d+)\) (?P<sstable>SSTableReader\(.*\)) "
+        r"to candidates$",
+        converters={"level": "int"},
+        event_category="compaction", event_type="leveling",
+    ),
+    Rule(
+        14, "CompactionManager", "compaction",
+        r"^No files to compact for user defined compaction$",
+        event_category="compaction", event_type="noop",
+    ),
+    # --- flush variants (2.1 / 3.x) -------------------------------------------
+    Rule(
+        23, "ColumnFamilyStore", "flush",
+        r"^Enqueuing flush of (?P<table>[^:]+): (?P<on_heap_bytes>\d+) "
+        r"\((?P<on_heap_pct>\d+)%\) on-heap, (?P<off_heap_bytes>\d+) "
+        r"\((?P<off_heap_pct>\d+)%\) off-heap$",
+        converters={"on_heap_bytes": "int", "on_heap_pct": "int",
+                    "off_heap_bytes": "int", "off_heap_pct": "int"},
+        promote={"on_heap_bytes": "bytes_in"},
+        event_category="flush", event_type="enqueue",
+    ),
+    Rule(
+        27, "ColumnFamilyStore", "flush",
+        r"^Initializing (?P<keyspace_table>\S+\.\S+)$",
+        event_category="flush", event_type="init",
+    ),
+    Rule(
+        24, "Memtable", "flush",
+        r"^Writing Memtable-(?P<table>[^@]+)@(?P<hash>\d+)\("
+        r"(?P<serialized>[\d.]+)(?P<unit>[KMG]iB|B) serialized bytes, "
+        r"(?P<ops>\d+) ops, (?P<on_heap_pct>\d+)%/(?P<off_heap_pct>\d+)% "
+        r"of on/off-heap limit\)$",
+        converters={"hash": "int", "ops": "int",
+                    "on_heap_pct": "int", "off_heap_pct": "int"},
+        event_category="flush", event_type="begin",
+    ),
+    Rule(
+        25, "Memtable", "flush",
+        r"^Completed flushing (?P<filename>\S+) \((?P<file_size>[\d.]+)"
+        r"(?P<unit>[KMG]iB|B)\) for commitlog position ReplayPosition\("
+        r"segmentId=(?P<segment_id>\d+), position=(?P<position>\d+)\)$",
+        converters={"segment_id": "int", "position": "int"},
+        event_category="flush", event_type="end",
+    ),
+    Rule(
+        26, "Memtable", "flush",
+        r"^Completed flushing (?P<filename>\S+) \((?P<file_size>[\d.]+)"
+        r"(?P<unit>[KMG]iB|B)\) for commitlog position CommitLogPosition\("
+        r"segmentId=(?P<segment_id>\d+), position=(?P<position>\d+)\)$",
+        converters={"segment_id": "int", "position": "int"},
+        event_category="flush", event_type="end",
+    ),
+    # --- dropped messages (3.x wording) ---------------------------------------
+    Rule(
+        31, "MessagingService", "drops",
+        r"^(?P<message_type>\w+) messages were dropped in last (?P<window_ms>\d+) ms: "
+        r"(?P<internal>\d+) internal and (?P<cross_node>\d+) cross node\. "
+        r"Mean internal dropped latency: (?P<internal_latency_ms>\d+) ms and "
+        r"Mean cross-node dropped latency: (?P<cross_latency_ms>\d+) ms$",
+        converters={k: "int" for k in (
+            "window_ms", "internal", "cross_node",
+            "internal_latency_ms", "cross_latency_ms")},
+        promote={"internal": "count"},
+        event_category="messaging", event_type="drops",
+    ),
+    Rule(
+        203, "MessagingService", "network",
+        r"^Waiting for messaging service to quiesce$",
+        event_category="network", event_type="quiesce",
+    ),
+    # --- gossip long tail ------------------------------------------------------
+    Rule(
+        42, "Gossiper", "gossip",
+        r"^removing endpoint /(?P<endpoint>[\d.]+)$",
+        event_category="gossip", event_type="endpoint_removed",
+    ),
+    Rule(
+        43, "Gossiper", "gossip",
+        r"^Removing host: (?P<host_id>\S+)$",
+        event_category="gossip", event_type="host_removed",
+    ),
+    Rule(
+        44, "Gossiper", "gossip",
+        r"^Gossip stage has (?P<pending>\d+) pending tasks; skipping status check "
+        r"\(no nodes will be marked down\)$",
+        converters={"pending": "int"},
+        event_category="gossip", event_type="stage_backlog",
+    ),
+    Rule(
+        46, "Gossiper", "gossip",
+        r"^InetAddress /(?P<endpoint>[\d.]+) is now dead\.$",
+        event_category="gossip", event_type="node_status",
+    ),
+    Rule(
+        45, "FailureDetector", "gossip",
+        r"^Not marking nodes down due to local pause of (?P<pause_ns>\d+) > "
+        r"(?P<threshold_ns>\d+)$",
+        converters={"pause_ns": "int", "threshold_ns": "int"},
+        event_category="gossip", event_type="local_pause",
+    ),
+    # --- startup long tail ------------------------------------------------------
+    Rule(
+        64, "CassandraDaemon", "startup",
+        r"^JVM Arguments: \[(?P<jvm_args>.*)\]$",
+        event_category="startup", event_type="jvm_args",
+    ),
+    Rule(
+        65, "CassandraDaemon", "startup",
+        r"^Hostname: (?P<hostname>\S+)$",
+        event_category="startup", event_type="hostname",
+    ),
+    Rule(
+        66, "CassandraDaemon", "startup",
+        r"^Waiting for gossip to settle before accepting client requests\.\.\.$",
+        event_category="startup", event_type="gossip_settle",
+    ),
+    Rule(
+        67, "CassandraDaemon", "startup",
+        r"^No gossip backlog; proceeding$",
+        event_category="startup", event_type="gossip_settled",
+    ),
+    Rule(
+        143, "StorageService", "startup",
+        r"^Starting up server gossip$",
+        event_category="startup", event_type="gossip_start",
+    ),
+    Rule(
+        144, "StorageService", "startup",
+        r"^Bootstrap completed! for the tokens \[(?P<tokens_list>[^\]]*)\]$",
+        event_category="startup", event_type="bootstrap_complete",
+    ),
+    Rule(
+        145, "StorageService", "startup",
+        r"^DRAINING: (?P<drain_status>.*)$",
+        event_category="shutdown", event_type="draining",
+    ),
+    Rule(
+        146, "StorageService", "startup",
+        r"^DRAINED$",
+        event_category="shutdown", event_type="drained",
+    ),
+    Rule(
+        147, "StorageService", "startup",
+        r"^Loading persisted ring state$",
+        event_category="startup", event_type="ring_state",
+    ),
+    Rule(
+        148, "StorageService", "startup",
+        r"^Thrift API version: (?P<thrift_version>[\d.]+)$",
+        event_category="startup", event_type="thrift_version",
+    ),
+    Rule(
+        149, "StorageService", "startup",
+        r"^CQL supported versions: (?P<versions>\S+) \(default: "
+        r"(?P<default_version>[^)]+)\)$",
+        event_category="startup", event_type="cql_versions",
+    ),
+    Rule(
+        400, "YamlConfigurationLoader", "startup",
+        r"^Loading settings from (?P<config_url>\S+)$",
+        event_category="startup", event_type="config_load",
+    ),
+    Rule(
+        401, "YamlConfigurationLoader", "startup",
+        r"^Node configuration:\[(?P<config>.*)\]$",
+        event_category="startup", event_type="config_dump",
+    ),
+    Rule(
+        410, "DatabaseDescriptor", "startup",
+        r"^DiskAccessMode 'auto' determined to be (?P<disk_access_mode>\w+), "
+        r"indexAccessMode is (?P<index_access_mode>\w+)$",
+        event_category="startup", event_type="disk_access_mode",
+    ),
+    Rule(
+        411, "DatabaseDescriptor", "startup",
+        r"^Global memtable (?P<kind>on-heap|off-heap) threshold is enabled at "
+        r"(?P<threshold_mb>\d+)MB$",
+        converters={"threshold_mb": "int"},
+        event_category="startup", event_type="memtable_threshold",
+    ),
+    # --- cache services ---------------------------------------------------------
+    Rule(
+        111, "CacheService", "cache",
+        r"^Initializing (?P<cache_kind>\w+) cache with capacity of "
+        r"(?P<capacity_mb>\d+) MBs\.$",
+        converters={"capacity_mb": "int"},
+        event_category="cache", event_type="init",
+    ),
+    Rule(
+        113, "CacheService", "cache",
+        r"^Scheduling (?P<cache_kind>\w+) cache save to every (?P<period_s>\d+) "
+        r"seconds \(going to save (?P<scope>.*) keys\)\.$",
+        converters={"period_s": "int"},
+        event_category="cache", event_type="schedule_save",
+    ),
+    Rule(
+        112, "AutoSavingCache", "cache",
+        r"^reading saved cache (?P<filename>\S+)$",
+        event_category="cache", event_type="load_begin",
+    ),
+    Rule(
+        114, "AutoSavingCache", "cache",
+        r"^Completed loading \((?P<duration>\d+) ms; (?P<keys>\d+) keys\) "
+        r"(?P<cache_type>\w+) cache$",
+        converters={"duration": "int", "keys": "int"},
+        promote={"duration": "duration_ms", "keys": "count"},
+        event_category="cache", event_type="load_end",
+    ),
+    # --- network long tail -------------------------------------------------------
+    Rule(
+        201, "OutboundTcpConnection", "network",
+        r"^error writing to /(?P<endpoint>[\d.]+)$",
+        event_category="network", event_type="write_error",
+    ),
+    Rule(
+        202, "IncomingTcpConnection", "network",
+        r"^UnknownColumnFamilyException reading from socket; closing$",
+        event_category="network", event_type="unknown_cf",
+    ),
+    # --- hints (3.x service) -------------------------------------------------------
+    Rule(
+        212, "HintsService", "hints",
+        r"^Paused hints dispatch$",
+        event_category="hints", event_type="dispatch_paused",
+    ),
+    Rule(
+        213, "HintsService", "hints",
+        r"^Resumed hints dispatch$",
+        event_category="hints", event_type="dispatch_resumed",
+    ),
+    Rule(
+        214, "HintsDispatchExecutor", "hints",
+        r"^Finished hinted handoff of file (?P<filename>\S+) to endpoint "
+        r"/(?P<endpoint>[\d.]+): (?P<host_id>\S+)$",
+        event_category="hints", event_type="handoff_end",
+    ),
+    Rule(
+        215, "HintedHandOffManager", "hints",
+        r"^Timed out replaying hints to /(?P<endpoint>[\d.]+); aborting "
+        r"\((?P<delivered>\d+) delivered\)$",
+        converters={"delivered": "int"},
+        promote={"delivered": "count"},
+        event_category="hints", event_type="handoff_timeout",
+    ),
+    # --- sstable long tail ----------------------------------------------------------
+    Rule(
+        181, "IndexSummaryManager", "sstable",
+        r"^Redistributing index summaries$",
+        event_category="sstable", event_type="index_summary",
+    ),
+    Rule(
+        92, "SSTable", "sstable",
+        r"^Deleting sstable: (?P<filename>\S+)$",
+        event_category="sstable", event_type="delete",
+    ),
+    # --- commitlog long tail ----------------------------------------------------------
+    Rule(
+        222, "CommitLogReplayer", "commitlog",
+        r"^Replaying (?P<filename>\S+) \(CL version (?P<cl_version>\d+), "
+        r"messaging version (?P<messaging_version>\d+)\)$",
+        converters={"cl_version": "int", "messaging_version": "int"},
+        event_category="commitlog", event_type="replay",
+    ),
+    Rule(
+        224, "CommitLogReplayer", "commitlog",
+        r"^Replaying (?P<filename>\S+) starting at position (?P<position>\d+)$",
+        converters={"position": "int"},
+        event_category="commitlog", event_type="replay",
+    ),
+    Rule(
+        223, "CommitLogSegmentManager", "commitlog",
+        r"^Creating new commit log segment (?P<filename>\S+)$",
+        event_category="commitlog", event_type="new_segment",
+    ),
+    # --- native protocol / thrift servers ----------------------------------------------
+    Rule(
+        121, "Server", "cql",
+        r"^Stop listening for CQL clients$",
+        event_category="cql", event_type="stop",
+    ),
+    Rule(
+        122, "Server", "cql",
+        r"^Netty using (?P<event_loop>native Epoll event loop|Java NIO event loop)$",
+        event_category="cql", event_type="netty_transport",
+    ),
+    Rule(
+        123, "Server", "cql",
+        r"^Using Netty Version: \[(?P<netty_version>[^\]]*)\]$",
+        event_category="cql", event_type="netty_version",
+    ),
+    Rule(
+        251, "ThriftServer", "cql",
+        r"^Binding thrift service to /(?P<addr>[\d.]+):(?P<port>\d+)$",
+        converters={"port": "int"},
+        event_category="thrift", event_type="bind",
+    ),
+    Rule(
+        252, "ThriftServer", "cql",
+        r"^Stop listening to thrift clients$",
+        event_category="thrift", event_type="stop",
+    ),
+    # --- batch warnings -----------------------------------------------------------------
+    Rule(
+        131, "BatchStatement", "batch",
+        r"^Unlogged batch covering (?P<partitions>\d+) partitions detected against "
+        r"tables? \[(?P<keyspace_table>[^\]]+)\]\..*$",
+        converters={"partitions": "int"},
+        promote={"partitions": "count"},
+        event_category="batch", event_type="unlogged_warning",
+    ),
+    # --- read path / tombstones (family: read) ------------------------------------------
+    Rule(
+        500, "SliceQueryFilter", "read",
+        r"^Read (?P<live>\d+) live and (?P<tombstones>\d+) tombstone cells in "
+        r"(?P<keyspace_table>\S+) for key: (?P<key>.+?) "
+        r"\(see tombstone_warn_threshold\)\. (?P<requested>\d+) columns were "
+        r"requested, slices=\[(?P<slices>[^\]]*)\]$",
+        converters={"live": "int", "tombstones": "int", "requested": "int"},
+        promote={"tombstones": "count"},
+        event_category="read", event_type="tombstone_warning",
+    ),
+    Rule(
+        501, "SliceQueryFilter", "read",
+        r"^Scanned over (?P<tombstones>\d+) tombstones in (?P<keyspace_table>\S+); "
+        r"query aborted \(see tombstone_failure_threshold\)$",
+        converters={"tombstones": "int"},
+        promote={"tombstones": "count"},
+        event_category="read", event_type="tombstone_abort",
+    ),
+    Rule(
+        502, "ReadCommand", "read",
+        r"^Read (?P<live>\d+) live rows and (?P<tombstones>\d+) tombstone cells "
+        r"for query (?P<query>.*) \(see tombstone_warn_threshold\)$",
+        converters={"live": "int", "tombstones": "int"},
+        promote={"tombstones": "count"},
+        event_category="read", event_type="tombstone_warning",
+    ),
+    Rule(
+        503, "ReadCallback", "read",
+        r"^Digest mismatch: (?P<exception>\S+): Mismatch for key (?P<key>.*)$",
+        event_category="read", event_type="digest_mismatch",
+    ),
+    # --- streaming (family: streaming) ---------------------------------------------------
+    Rule(
+        600, "StreamResultFuture", "streaming",
+        r"^\[Stream #(?P<stream_id>[^\]]+)\] Executing streaming plan for "
+        r"(?P<operation>.*)$",
+        event_category="streaming", event_type="plan_start",
+    ),
+    Rule(
+        604, "StreamResultFuture", "streaming",
+        r"^\[Stream #(?P<stream_id>[^\]]+)\] Prepare completed\. Receiving "
+        r"(?P<receiving_files>\d+) files\((?P<receiving_bytes>\d+) bytes\), sending "
+        r"(?P<sending_files>\d+) files\((?P<sending_bytes>\d+) bytes\)$",
+        converters={k: "int" for k in (
+            "receiving_files", "receiving_bytes", "sending_files", "sending_bytes")},
+        promote={"receiving_bytes": "bytes_in", "sending_bytes": "bytes_out"},
+        event_category="streaming", event_type="prepare_complete",
+    ),
+    Rule(
+        601, "StreamResultFuture", "streaming",
+        r"^\[Stream #(?P<stream_id>[^\]]+)\] Session with /(?P<endpoint>[\d.]+) "
+        r"is complete$",
+        event_category="streaming", event_type="session_complete",
+    ),
+    Rule(
+        602, "StreamResultFuture", "streaming",
+        r"^\[Stream #(?P<stream_id>[^\]]+)\] All sessions completed$",
+        event_category="streaming", event_type="all_complete",
+    ),
+    Rule(
+        603, "StreamSession", "streaming",
+        r"^\[Stream #(?P<stream_id>[^\]]+)\] Starting streaming to "
+        r"/(?P<endpoint>[\d.]+)$",
+        event_category="streaming", event_type="session_start",
+    ),
+    # --- repair (2.1+ classes) ------------------------------------------------------------
+    Rule(
+        272, "RepairSession", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] new session: will sync (?P<nodes>.*) "
+        r"on range \((?P<range_start>-?\d+),(?P<range_end>-?\d+)\] for "
+        r"(?P<keyspace>\S+)\.\[(?P<tables>[^\]]+)\]$",
+        converters={"range_start": "int", "range_end": "int"},
+        event_category="repair", event_type="session_start",
+    ),
+    Rule(
+        273, "RepairSession", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] Received merkle tree for "
+        r"(?P<table>\S+) from /(?P<endpoint>[\d.]+)$",
+        event_category="repair", event_type="merkle_received",
+    ),
+    Rule(
+        274, "RepairSession", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] (?P<table>\S+) is fully synced$",
+        event_category="repair", event_type="table_synced",
+    ),
+    Rule(
+        275, "RepairSession", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] session completed successfully$",
+        event_category="repair", event_type="session_end",
+    ),
+    Rule(
+        276, "RepairRunnable", "repair",
+        r"^Starting repair command #(?P<command>\d+), repairing keyspace "
+        r"(?P<keyspace>\S+) with repair options \((?P<options>.*)\)$",
+        converters={"command": "int"},
+        event_category="repair", event_type="command_start",
+    ),
+    Rule(
+        277, "Validator", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] Sending completed merkle tree to "
+        r"/(?P<endpoint>[\d.]+) for (?P<keyspace_table>\S+)$",
+        event_category="repair", event_type="merkle_sent",
+    ),
+    # --- schema long tail --------------------------------------------------------------------
+    Rule(
+        242, "MigrationManager", "schema",
+        r"^Drop table '(?P<keyspace_table>[^']+)'$",
+        event_category="schema", event_type="drop_table",
+    ),
+    Rule(
+        243, "MigrationManager", "schema",
+        r"^Create new Keyspace: (?P<keyspace_def>.*)$",
+        event_category="schema", event_type="create_keyspace",
+    ),
+    Rule(
+        244, "MigrationManager", "schema",
+        r"^Drop Keyspace '(?P<keyspace>[^']+)'$",
+        event_category="schema", event_type="drop_keyspace",
+    ),
+    Rule(
+        245, "MigrationManager", "schema",
+        r"^Update Keyspace '(?P<keyspace>[^']+)' From (?P<from_def>.*) To "
+        r"(?P<to_def>.*)$",
+        event_category="schema", event_type="update_keyspace",
+    ),
+    Rule(
+        232, "SecondaryIndexManager", "index",
+        r"^Index build of (?P<index_name>\S+) complete$",
+        event_category="index", event_type="build_complete",
+    ),
+    # --- off-heap memory pressure (3.x NoSpamLogger) --------------------------------------------
+    Rule(
+        700, "NoSpamLogger", "memory",
+        r"^Maximum memory usage reached \((?P<max>[\d.]+)(?P<max_unit>[KMG]iB|B)\), "
+        r"cannot allocate chunk of (?P<chunk>[\d.]+)(?P<chunk_unit>[KMG]iB|B)$",
+        event_category="memory", event_type="pool_exhausted",
+    ),
     # --- DSE / Solr (solr.py [R-M]) ----------------------------------------
     Rule(
         300, "DseDaemon", "startup",
         r"^DSE version: (?P<dse_version>[\d.]+)$",
         event_product="dse", event_category="startup", event_type="dse_version",
+    ),
+    Rule(
+        301, "DseDaemon", "startup",
+        r"^Waiting for other nodes to become alive\.\.\.$",
+        event_product="dse", event_category="startup", event_type="wait_nodes",
+    ),
+    Rule(
+        302, "DseDaemon", "startup",
+        r"^DSE startup complete\.$",
+        event_product="dse", event_category="startup", event_type="dse_ready",
     ),
     Rule(
         310, "SolrCore", "solr",
@@ -436,6 +994,11 @@ RULES: list[Rule] = [
         converters={"count": "int"},
         promote={"count": "count"},
         event_product="solr", event_category="solr", event_type="reindex",
+    ),
+    Rule(
+        321, "AbstractSolrSecondaryIndex", "solr",
+        r"^Executing hard commit on index (?P<core>\S+)$",
+        event_product="solr", event_category="solr", event_type="hard_commit",
     ),
 ]
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import re
+import zlib
 from collections.abc import Iterator
 
 import pyarrow as pa
@@ -65,9 +66,15 @@ def raw_logs_to_sequences(spark: SparkSession, glob: str) -> DataFrame:
             texts = batch.column(0).to_pylist()
             for path, text in zip(paths, texts):
                 source = source_from_path(path)
+                # per-file discriminator: rotated logs (system.log,
+                # system.log.1) and same-named files in different dirs
+                # share `source`; without the path hash their event
+                # indices would collide into duplicate doc_ids and
+                # corrupt ledger/manifest/bucket semantics
+                pathkey = f"{zlib.crc32((path or '').encode('utf-8')):08x}"
                 for i, ev in enumerate(fold_lines(text or "")):
                     toks = list(ev.encode("utf-8"))
-                    rows_out["doc_id"].append(f"{source}-{i:012d}")
+                    rows_out["doc_id"].append(f"{source}-{pathkey}-{i:012d}")
                     rows_out["tokens"].append(toks)
                     rows_out["n_tok"].append(len(toks))
                     rows_out["source"].append(source)

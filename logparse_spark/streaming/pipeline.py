@@ -47,10 +47,23 @@ def windowed_family_counts(parsed: DataFrame, window: str = "1 minute",
 
 
 def route_stream(parsed: DataFrame, sinks_path: str, checkpoint: str):
-    """Streaming fan-out: per-micro-batch partitioned append."""
+    """Streaming fan-out: per-micro-batch partitioned write.
+
+    foreachBatch is at-least-once: a micro-batch retried after a crash
+    between write and checkpoint commit would duplicate rows under
+    mode('append').  Partitioning by (family, batch_id) with dynamic
+    partition overwrite makes the retry idempotent — the replayed batch
+    overwrites exactly its own partitions.
+    """
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        batch.write.mode("append").partitionBy("family").parquet(sinks_path)
+        (
+            batch.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("family", "batch_id")
+            .parquet(sinks_path)
+        )
 
     return (
         parsed.writeStream.foreachBatch(write_batch)

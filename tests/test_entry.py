@@ -1,12 +1,15 @@
 """Driver-contract test: entry() smoke + full DuckDB-oracle parity for
 every queries()/oracle_sql() pair at sf0.001 (the driver repeats this
-at sf0.01)."""
+at sf0.01).  Uses the STRICT comparator from tools/parity.py: normalized
+Arrow dtypes must match exactly and values compare with no tolerance —
+the local stand-in for the driver's type-sensitive value hash."""
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 import __spark_entry__ as entrymod
-from tools.parity import TABLES, rowset, values_match
+from tools.parity import TABLES, table_fingerprint
 
 SF = "/root/testdata/sf0.001"
 
@@ -36,14 +39,20 @@ def test_every_oracle_has_query():
 def test_query_parity(spark, duck, name):
     fn = entrymod.queries()[name]
     sdf = fn(spark, SF)
-    srows = [tuple(r) for r in sdf.collect()]
+    stbl = sdf.toArrow()
     oracles = entrymod.oracle_sql()
     if name not in oracles:
-        assert len(srows) > 0, f"{name}: rows-only query returned 0 rows"
+        assert stbl.num_rows > 0, f"{name}: rows-only query returned 0 rows"
         return
-    rel = duck.sql(oracles[name])
-    sc, sv = rowset([c.lower() for c in sdf.columns], srows)
-    dc, dv = rowset([c.lower() for c in rel.columns], rel.fetchall())
-    assert sc == dc, f"{name}: schema mismatch {sc} vs {dc}"
+    dtbl = duck.sql(oracles[name]).arrow()
+    if isinstance(dtbl, pa.RecordBatchReader):
+        dtbl = dtbl.read_all()
+    sc, sdt, sv = table_fingerprint(stbl)
+    dc, ddt, dv = table_fingerprint(dtbl)
+    sc_l, dc_l = [c.lower() for c in sc], [c.lower() for c in dc]
+    assert sc_l == dc_l, f"{name}: schema mismatch {sc} vs {dc}"
+    bad_types = [(c, sdt[cs], ddt[cd]) for c, cs, cd in zip(sc_l, sc, dc)
+                 if sdt[cs] != ddt[cd]]
+    assert not bad_types, f"{name}: dtype mismatch {bad_types}"
     assert len(sv) == len(dv), f"{name}: {len(sv)} vs {len(dv)} rows"
-    assert values_match(sv, dv), f"{name}: values differ"
+    assert sv == dv, f"{name}: values differ"

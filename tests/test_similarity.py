@@ -55,6 +55,36 @@ def test_ivf_recall_on_clustered_data(spark):
     assert recall >= 0.8, f"IVF recall {recall}"
 
 
+def test_all_pairs_cosine_gate_routes_big_inputs_to_lsh(spark):
+    """Small inputs take the exact GEMM path; inputs past the broadcast
+    budget must fall through to the LSH plan (no driver collect of an
+    unbounded table) and still find the planted near-dup pair."""
+    rows = [
+        (1, [1.0] + [0.0] * 63),
+        (2, [0.999, 0.01] + [0.0] * 62),  # near dup of 1
+        (3, [0.0, 1.0] + [0.0] * 62),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    small = {(r["id_a"], r["id_b"]) for r in
+             sim.all_pairs_cosine(df, min_cosine=0.95).collect()}
+    big = {(r["id_a"], r["id_b"]) for r in
+           sim.all_pairs_cosine(df, min_cosine=0.95, max_broadcast_cells=10,
+                                n_planes=6).collect()}
+    assert (1, 2) in small and (1, 3) not in small
+    assert (1, 2) in big and (1, 3) not in big
+
+
+def test_assign_centroid_plan_has_no_exchange(spark):
+    """The literal-centroid argmax must be map-side only: no Exchange
+    (shuffle) in the executed plan (VERDICT r1 'What's wrong' #4)."""
+    df = _vecs(spark, n=100)
+    cents = sim.pick_centroids(df, 8)
+    out = sim.assign_centroid(df, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:3000]
+    assert out.count() == 100
+
+
 def test_brute_force_plan_broadcasts_queries(spark):
     df = _vecs(spark, n=200)
     out = sim.brute_force_topk(df, df.where("vec_id < 2"), k=2)
