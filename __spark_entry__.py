@@ -420,13 +420,15 @@ def q_dedup_jaccard(spark, sf):
 
 
 def q_dedup_minhash(spark, sf):
-    """MinHash-LSH candidates -> exact word-Jaccard verify (>= 0.8):
-    the production candidate->verify shape, exactly oracle-checkable.
-    r=3, b=28 banding misses a J=0.8 pair w.p. (1-.8^3)^28 ~ 2e-9 —
-    across the ~32k true pairs at sf0.01 that is ~1e-4 total, so the
-    verified LSH output equals the quadratic ground truth."""
+    """MinHash-LSH candidates -> exact 3-gram-Jaccard verify (>= 0.8):
+    the production candidate->verify shape, exactly oracle-checkable
+    against the quadratic ground truth.  Word 3-grams (the standard
+    dedup shingle) keep the near-dup graph sparse where unigram sets
+    are degenerate on templated text (measured: unigrams give 2.96M
+    pairs at sf0.1, 3-grams give the ~25 true template dups at sf0.01).
+    r=3, b=28 banding misses a J=0.8 pair w.p. (1-.8^3)^28 ~ 2e-9."""
     docs = _t(spark, sf, "documents")
-    return dd.minhash_near_dups(docs, num_hashes=84, bands=28, shingle_n=1,
+    return dd.minhash_near_dups(docs, num_hashes=84, bands=28, shingle_n=3,
                                 threshold=0.8)
 
 
@@ -560,6 +562,22 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_udtf_sentences(spark, sf):
+    """Python UDTF (Arrow-optimized) in a LATERAL join: per-document
+    sentence explosion + aggregation, exactly verified against DuckDB's
+    unnest(string_split(...))."""
+    from logparse_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, count(*) AS sentences,
+               CAST(max(length(s.sentence)) AS BIGINT) AS max_sentence_len
+        FROM docs_udtf d, LATERAL split_sentences(d.text) s
+        GROUP BY d.doc_id
+    """)
+
+
 def q_streaming_counts(spark, sf):
     """Structured Streaming milestone made visible to the driver: a
     bounded availableNow run of the SAME parse engine over a file-source
@@ -641,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pipeline_topk_rules": q_pipeline_topk_rules,
         "q_pipeline_gc_running": q_pipeline_gc_running,
         "q_multimodal_features": q_multimodal_features,
+        "q_udtf_sentences": q_udtf_sentences,
         "q_streaming_counts": q_streaming_counts,
         "q_approx_distinct": q_approx_distinct,
     }
@@ -922,15 +941,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.ws, b.ws)) * 1.0
                   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7
         """,
-        # LSH candidates + exact verify == all pairs with exact word-set
-        # Jaccard >= 0.8 (banding recall ~1-3e-7 at r=3,b=21); the oracle
-        # is the quadratic ground truth the LSH path approximates
-        "q_dedup_minhash": f"""
-            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents)
+        # LSH candidates + exact verify == all pairs with exact word-
+        # 3-gram Jaccard >= 0.8 (banding miss ~2e-9/pair at r=3,b=28);
+        # the oracle is the quadratic ground truth the LSH approximates.
+        # Shingle construction mirrors dedup.word_shingles(n=3) exactly:
+        # unfiltered \\s+ split of lower(trim(text)), distinct 3-gram
+        # joins, one partial gram for docs shorter than 3 words.
+        "q_dedup_minhash": """
+            WITH d AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(w) - 2, 1)),
+                           i -> array_to_string(w[i:i+2], ' '))) AS sh
+                FROM d
+            )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM w a JOIN w b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.ws, b.ws)) * 1.0
-                  / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         """,
         # identical 60-bit md5 simhash on both engines (first 15 hex
         # chars of md5 -> BIGINT), then exact hamming <= 3
@@ -971,6 +1002,13 @@ def oracle_sql() -> dict[str, str]:
                 CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
         """,
         "q_sim_topk_ivf": _ivf_oracle(),
+        "q_udtf_sentences": """
+            SELECT doc_id, count(*) AS sentences,
+                   CAST(max(length(s)) AS BIGINT) AS max_sentence_len
+            FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s
+                  FROM documents)
+            GROUP BY doc_id
+        """,
         "q_sim_topk": """
             SELECT query_id, neighbor_id, rank FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -127,6 +127,47 @@ def _templates():
             f"Exception in thread Thread[ReadStage:{r.randint(1, 64)},5,main]")),
         (0.03, None, "main", None, lambda r: (  # unknown class -> unknown sink
             f"Some message no rule matches {r.randint(0, 99999)}")),
+        # --- round-2 rule families (exercise the expanded rulebook E2E) ----
+        (0.01, "GCInspector", "Service Thread", None, lambda r: (
+            f"G1 Young Generation GC in {r.randint(100, 500)}ms.  G1 Eden Space: "
+            f"{r.randint(10**8, 4 * 10**9)} -> 0; G1 Old Gen: "
+            f"{r.randint(10**8, 10**9)} -> {r.randint(10**8, 10**9)};")),
+        (0.01, "StatusLogger", "ScheduledTasks:1", None, lambda r: (
+            "Pool Name                    Active   Pending      Completed   "
+            "Blocked  All Time Blocked")),
+        (0.02, "Memtable", "MemtableFlushWriter:3", None, lambda r: (
+            f"Writing Memtable-{r.choice(_TABLES)}@{r.randint(10**8, 2 * 10**9)}"
+            f"({r.uniform(0.1, 900.0):.3f}KiB serialized bytes, {r.randint(1, 10**5)} ops, "
+            f"{r.randint(0, 40)}%/{r.randint(0, 10)}% of on/off-heap limit)")),
+        (0.02, "SliceQueryFilter", "ReadStage:12", "WARN", lambda r: (
+            f"Read {r.randint(100, 5000)} live and {r.randint(1000, 99999)} tombstone "
+            f"cells in {r.choice(_KEYSPACES)}.{r.choice(_TABLES)} for key: "
+            f"user{r.randint(1, 9999)} (see tombstone_warn_threshold). "
+            f"{r.randint(100, 10000)} columns were requested, slices=[-]")),
+        (0.01, "ReadCommand", "ReadStage-2", "WARN", lambda r: (
+            f"Read {r.randint(1, 999)} live rows and {r.randint(1001, 99999)} tombstone "
+            f"cells for query SELECT * FROM {r.choice(_KEYSPACES)}.{r.choice(_TABLES)} "
+            f"LIMIT {r.randint(10, 5000)} (see tombstone_warn_threshold)")),
+        (0.02, "StreamResultFuture", "STREAM-IN-/10.0.1.5", None, lambda r: (
+            f"[Stream #{r.randint(10**7, 9 * 10**7):x}-{r.randint(1000, 9999):x}] "
+            f"Session with /{_ip(r)} is complete")),
+        (0.01, "StreamSession", "STREAM-OUT-/10.0.1.6", None, lambda r: (
+            f"[Stream #{r.randint(10**7, 9 * 10**7):x}-{r.randint(1000, 9999):x}] "
+            f"Starting streaming to /{_ip(r)}")),
+        (0.02, "RepairSession", "AntiEntropySessions:3", None, lambda r: (
+            f"[repair #{r.randint(10**7, 9 * 10**7):x}-{r.randint(1000, 9999):x}] "
+            f"Received merkle tree for {r.choice(_TABLES)} from /{_ip(r)}")),
+        (0.01, "HintsDispatchExecutor", "HintsDispatcher:2", None, lambda r: (
+            f"Finished hinted handoff of file {r.randint(10**7, 9 * 10**7):x}-1.hints "
+            f"to endpoint /{_ip(r)}: {r.randint(10**7, 9 * 10**7):x}")),
+        (0.01, "CacheService", "main", None, lambda r: (
+            f"Initializing {r.choice(['key', 'row', 'counter'])} cache with capacity "
+            f"of {r.randint(10, 512)} MBs.")),
+        (0.01, "MigrationManager", "MigrationStage:1", None, lambda r: (
+            f"Drop table '{r.choice(_KEYSPACES)}/{r.choice(_TABLES)}'")),
+        (0.01, "NoSpamLogger", "SharedPool-Worker-1", "WARN", lambda r: (
+            f"Maximum memory usage reached ({r.randint(128, 1024)}.000MiB), "
+            f"cannot allocate chunk of 1.000MiB")),
     ]
 
 
