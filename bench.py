@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "q_dedup_simhash",
     "q_embed_neardup",
     "q_sim_topk",
+    "q_sim_topk_ivf",
+    "q_asof_join",
+    "q_udtf_sentences",
     "q_text_tokens",
     "q_text_langid",
 ]
