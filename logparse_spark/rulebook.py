@@ -958,6 +958,174 @@ RULES: list[Rule] = [
         r"cannot allocate chunk of (?P<chunk>[\d.]+)(?P<chunk_unit>[KMG]iB|B)$",
         event_category="memory", event_type="pool_exhausted",
     ),
+    # --- batch 3: more public 1.2/2.0/2.1/3.x shapes ---------------------------
+    Rule(
+        800, "MeteredFlusher", "flush",
+        r"^flushing high-traffic column family CFS\(Keyspace='(?P<keyspace>[^']+)', "
+        r"ColumnFamily='(?P<table>[^']+)'\) \(estimated (?P<bytes>\d+) bytes\)$",
+        converters={"bytes": "int"},
+        promote={"bytes": "bytes_in"},
+        event_category="flush", event_type="metered_flush",
+    ),
+    Rule(
+        801, "CompactionManager", "compaction",
+        r"^Compaction interrupted: (?P<task>.*)$",
+        event_category="compaction", event_type="interrupted",
+    ),
+    Rule(
+        822, "CompactionTask", "compaction",
+        # 2.1: task id + MB/s rate, no level / throughput breakdown
+        r"^Compacted \((?P<task_id>[^)]+)\) (?P<sstable_count>\d+) sstables to "
+        r"\[(?P<output_sstable>[^\]]*)\]\.\s+(?P<input_bytes>[\d,]+) bytes to "
+        r"(?P<output_bytes>[\d,]+) \(~(?P<percent_of_original>\d+)% of original\) in "
+        r"(?P<duration>[\d,]+)ms = (?P<rate>[\d.]+)MB/s\.\s+"
+        r"(?P<total_partitions>[\d,]+) total partitions merged to "
+        r"(?P<partitions_merged>[\d,]+)\.\s+Partition merge counts were "
+        r"\{(?P<merge_counts>[^}]*)\}$",
+        converters={
+            "sstable_count": "int", "input_bytes": "comma_int",
+            "output_bytes": "comma_int", "percent_of_original": "int",
+            "duration": "comma_int", "rate": "float",
+            "total_partitions": "comma_int", "partitions_merged": "comma_int",
+        },
+        promote={"duration": "duration_ms", "input_bytes": "bytes_in",
+                 "output_bytes": "bytes_out"},
+        event_category="compaction", event_type="end",
+    ),
+    Rule(
+        818, "BigTableWriter", "compaction",
+        r"^Writing large partition (?P<keyspace>\S+)/(?P<table>[^:]+):"
+        r"(?P<partition_key>\S+) \((?P<bytes>\d+) bytes.*\)$",
+        converters={"bytes": "int"},
+        promote={"bytes": "bytes_out"},
+        event_category="compaction", event_type="large_partition",
+    ),
+    Rule(
+        802, "StorageService", "repair",
+        r"^Repair session (?P<session_id>\S+) for range \((?P<range_start>-?\d+),"
+        r"(?P<range_end>-?\d+)\] finished$",
+        converters={"range_start": "int", "range_end": "int"},
+        event_category="repair", event_type="session_end",
+    ),
+    Rule(
+        803, "StorageService", "repair",
+        r"^Starting repair command #(?P<command>\d+), repairing (?P<ranges>\d+) "
+        r"ranges for keyspace (?P<keyspace>\S+) \((?P<options>.*)\)$",
+        converters={"command": "int", "ranges": "int"},
+        event_category="repair", event_type="command_start",
+    ),
+    Rule(
+        821, "StorageService", "startup",
+        r"^Populating token metadata from system tables$",
+        event_category="startup", event_type="token_metadata",
+    ),
+    Rule(
+        804, "Memtable", "flush",
+        r"^setting live ratio to (?P<bound>minimum|maximum) of "
+        r"(?P<bound_value>[\d.]+) instead of (?P<computed>[\d.]+)$",
+        converters={"bound_value": "float", "computed": "float"},
+        event_category="flush", event_type="live_ratio_clamp",
+    ),
+    Rule(
+        810, "ColumnFamilyStore", "flush",
+        # 3.x: unit-suffixed on/off-heap sizes
+        r"^Enqueuing flush of (?P<table>[^:]+): (?P<on_heap>[\d.]+)"
+        r"(?P<on_unit>[KMG]iB|B) \((?P<on_heap_pct>\d+)%\) on-heap, "
+        r"(?P<off_heap>[\d.]+)(?P<off_unit>[KMG]iB|B) \((?P<off_heap_pct>\d+)%\) "
+        r"off-heap$",
+        converters={"on_heap_pct": "int", "off_heap_pct": "int"},
+        event_category="flush", event_type="enqueue",
+    ),
+    Rule(
+        811, "ColumnFamilyStore", "sstable",
+        r"^Loading new SSTables for (?P<keyspace>\S+)/(?P<table>\S+)\.\.\.$",
+        event_category="sstable", event_type="load_new",
+    ),
+    Rule(
+        805, "CassandraDaemon", "startup",
+        r"^Cassandra shutting down\.\.\.$",
+        event_category="shutdown", event_type="shutdown",
+    ),
+    Rule(
+        806, "QueryProcessor", "cql",
+        r"^Preloaded (?P<count>\d+) prepared statements$",
+        converters={"count": "int"},
+        promote={"count": "count"},
+        event_category="cql", event_type="preload_statements",
+    ),
+    Rule(
+        807, "IndexSummaryRedistribution", "sstable",
+        r"^Redistributing index summaries$",
+        event_category="sstable", event_type="index_summary",
+    ),
+    Rule(
+        808, "TokenMetadata", "gossip",
+        r"^Updating topology for /(?P<endpoint>[\d.]+)$",
+        event_category="gossip", event_type="topology_update",
+    ),
+    Rule(
+        809, "SystemKeyspace", "startup",
+        r"^No host ID found, created (?P<host_id>\S+) \(Note: This should happen "
+        r"exactly once per node\)\.$",
+        event_category="startup", event_type="host_id_created",
+    ),
+    Rule(
+        812, "Gossiper", "gossip",
+        r"^Sleeping for (?P<sleep_ms>\d+)ms to ensure /(?P<endpoint>[\d.]+) "
+        r"does not change$",
+        converters={"sleep_ms": "int"},
+        promote={"sleep_ms": "duration_ms"},
+        event_category="gossip", event_type="remove_sleep",
+    ),
+    Rule(
+        813, "Gossiper", "gossip",
+        r"^Node /(?P<endpoint>[\d.]+) is now part of the cluster$",
+        event_category="gossip", event_type="node_joined",
+    ),
+    Rule(
+        814, "MigrationTask", "schema",
+        r"^Can't send migration request: node /(?P<endpoint>[\d.]+) is down\.$",
+        event_category="schema", event_type="migration_blocked",
+    ),
+    Rule(
+        815, "HintedHandOffManager", "hints",
+        r"^Checking remote schema before delivering hints$",
+        event_category="hints", event_type="schema_check",
+    ),
+    Rule(
+        816, "CassandraRoleManager", "auth",
+        r"^Created default superuser role '(?P<role>[^']+)'$",
+        event_category="auth", event_type="superuser_created",
+    ),
+    Rule(
+        817, "Auth", "auth",
+        r"^Created default superuser '(?P<user>[^']+)'$",
+        event_category="auth", event_type="superuser_created",
+    ),
+    Rule(
+        819, "MonitoringTask", "read",
+        r"^(?P<count>\d+) operations were slow in the last (?P<window_ms>\d+) "
+        r"msecs:.*$",
+        converters={"count": "int", "window_ms": "int"},
+        promote={"count": "count"},
+        event_category="read", event_type="slow_operations",
+    ),
+    Rule(
+        820, "StatusLogger", "status",
+        r"^MessagingService\s+n/a\s+(?P<pending>\d+)/(?P<dropped>\d+)$",
+        converters={"pending": "int", "dropped": "int"},
+        event_category="status", event_type="messaging",
+    ),
+    Rule(
+        824, "SolrCore", "solr",
+        r"^\[(?P<core>\S+)\] CLOSING SolrCore (?P<instance>\S+)$",
+        event_product="solr", event_category="solr", event_type="core_close",
+    ),
+    Rule(
+        825, "AbstractSolrSecondaryIndex", "solr",
+        r"^Truncating index (?P<core>\S+)$",
+        event_product="solr", event_category="solr", event_type="truncate",
+    ),
     # --- DSE / Solr (solr.py [R-M]) ----------------------------------------
     Rule(
         300, "DseDaemon", "startup",
