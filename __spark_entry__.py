@@ -592,19 +592,32 @@ def q_streaming_counts(spark, sf):
         parse_stream, stream_sequences, windowed_family_counts,
     )
 
+    import shutil
+
     base = tempfile.mkdtemp(prefix="lp_stream_entry_")
     inp = os.path.join(base, "seq")
     write_sequences(spark, inp, 2000, n_buckets=2)
     counts = windowed_family_counts(parse_stream(stream_sequences(spark, inp)))
     name = f"q_streaming_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("family", "start")
+    try:
+        q = (
+            counts.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        # results now live in the driver-side memory sink; localCheckpoint
+        # pins them so corpus + checkpoint dirs and older sink tables can
+        # be dropped (repeat invocations must not accumulate /tmp or
+        # driver-memory state)
+        out = spark.table(name).orderBy("family", "start").localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    for v in spark.catalog.listTables():
+        if v.name.startswith("q_streaming_counts_"):
+            spark.catalog.dropTempView(v.name)
+    return out
 
 
 def q_approx_distinct(spark, sf):

@@ -23,7 +23,7 @@ import sys
 
 from logparse_spark.oracle import parse_text
 from logparse_spark.rulebook import rules_dim_rows
-from logparse_spark.sources.rawlog import fold_lines
+from logparse_spark.sources.rawlog import iter_fold
 
 _TAXONOMY = {
     row[0]: {"event_product": row[5], "event_category": row[6], "event_type": row[7]}
@@ -56,7 +56,9 @@ def event_json(text: str, source: str | None = None) -> str:
 def main(stdin=None, stdout=None, source: str | None = None) -> int:
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
-    for event_text in fold_lines(stdin.read()):
+    # incremental fold: events emit as soon as the next header arrives,
+    # so a live `tail -f | compat` pipe streams with O(1 event) memory
+    for event_text in iter_fold(stdin):
         stdout.write(event_json(event_text, source) + "\n")
     return 0
 

@@ -111,6 +111,16 @@ def minhash_signature_np(
     b = np.array([rnd.randrange(0, _MERSENNE) for _ in range(num_hashes)], dtype=np.uint64)
     M = np.uint64(_MERSENNE)
 
+    import re as _re
+
+    def _shingle_words(t) -> list[str]:
+        # EXACT replica of word_shingles' tokenization (lower(trim(.))
+        # split on \s+): Spark trim strips spaces only, and the regex
+        # split keeps a leading '' token after e.g. a leading tab —
+        # plain str.split() would silently compute a different Jaccard
+        # than the verify stage/oracle and skew banding recall
+        return _re.split(r"\s+", str(t or "").lower().strip(" "))
+
     def _sig(texts):
         # batch-vectorized: shingle per doc in Python (string work), but
         # hash + permute ALL shingles of the batch in ONE numpy pass and
@@ -118,7 +128,7 @@ def minhash_signature_np(
         # hash_array loop was 2-5x slower)
         grams_per_doc = []
         for t in texts:
-            words = str(t or "").lower().split()
+            words = _shingle_words(t)
             if len(words) >= shingle_n:
                 grams = {" ".join(words[i:i + shingle_n])
                          for i in range(len(words) - shingle_n + 1)}
@@ -172,9 +182,16 @@ def minhash_lsh_candidates(
     """
     banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n, seed, impl)
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("_bsz"))
+        # window count over the SAME shuffle the self-join needs: the two
+        # join sides then share one Exchange (ReusedExchange), so the
+        # expensive signature UDF subtree evaluates ONCE — a groupBy-and-
+        # join-back sizes table would force a second full evaluation
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_hash")
         banded = (
-            banded.join(sizes.where(F.col("_bsz") <= max_bucket), ["band", "band_hash"])
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
     a, b = banded.alias("a"), banded.alias("b")
@@ -243,7 +260,7 @@ def minhash_near_dups(
     shingle_n: int = 1,
     threshold: float = 0.8,
     seed: int = 42,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Production shape: LSH candidates -> exact-Jaccard verify.
 
@@ -252,6 +269,13 @@ def minhash_near_dups(
     VERIFIED near-dup edge list (exactly checkable against a quadratic
     oracle when banding recall ~1: rows/band=3, 21 bands => a J=0.8
     pair is missed w.p. (1-0.8^3)^21 ~ 3e-7).
+
+    `max_bucket` defaults to None here (unlike the raw candidate
+    generator): a cap breaks ground-truth equality on duplicate-heavy
+    corpora — docs above the cap share ALL their band buckets, so every
+    bucket overflows and their pairs vanish while a quadratic oracle
+    keeps them.  Set it only when you accept cap semantics (and run
+    exact_dedup first so identical docs never form giant buckets).
     """
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n, seed,

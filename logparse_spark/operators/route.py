@@ -27,7 +27,8 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def route(df: DataFrame, sinks_path: str, n_buckets: int = 4,
-          write_salt: int = 2, cluster: bool = True) -> None:
+          write_salt: int = 2, cluster: bool = True,
+          cluster_partitions: int | None = None) -> None:
     """Write the fan-out sinks in one pass, partitioned by family.
 
     `fields` (map) and `extra` (array) columns are parquet-native; the
@@ -45,13 +46,23 @@ def route(df: DataFrame, sinks_path: str, n_buckets: int = 4,
     corpus, whose partition dirs align tasks with (source, bucket), so
     each task fans out to at most |families| dirs.  The stateless parse
     stage preserves partitioning 1:1, so the alignment survives it.
+
+    `cluster_partitions` pins the clustering shuffle's partition count
+    (default 2x defaultParallelism).  Without an explicit N, AQE
+    coalesces the exchange toward 64 MB chunks — the same handful of
+    write tasks at EVERY core count, which caps write parallelism and
+    was measured 13% slower at local[32] on 2M rows.  File counts are
+    unaffected: each (family, source, bucket, salt) combo hashes to one
+    partition regardless of N.
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if "bucket" not in df.columns:
         df = with_bucket(df, n_buckets)
     if cluster:
+        n = cluster_partitions or spark.sparkContext.defaultParallelism * 2
         df = df.repartition(
+            n,
             *[F.col(c) for c in SINK_PARTITIONS],
             F.pmod(F.crc32(F.col("doc_id")), F.lit(write_salt)),
         )

@@ -118,11 +118,17 @@ def all_pairs_cosine(
     matrix fits comfortably on every executor) take the exact GEMM path;
     anything larger automatically falls through to the LSH-bucketed
     plan in dedup.py — no driver collect of an unbounded table
-    (VERDICT r1 "What's wrong" #2).
+    (VERDICT r1 "What's wrong" #2).  NOTE the semantics change at the
+    gate: the LSH path only emits same-bucket pairs (recall < 1), so
+    past the gate the output is no longer comparable to an exact
+    quadratic oracle — by then the quadratic oracle itself is
+    infeasible; raise max_broadcast_cells if exactness must extend.
+    One aggregate job decides the gate (not separate first()+count()).
     """
-    first = df.select(F.size(vec_col).alias("d")).first()
-    d = int(first["d"]) if first else 0
-    n = df.count()
+    row = df.agg(
+        F.count("*").alias("n"), F.first(F.size(vec_col)).alias("d")
+    ).first()
+    n, d = int(row["n"] or 0), int(row["d"] or 0)
     if d and n * d <= max_broadcast_cells:
         return all_pairs_cosine_gemm(df, min_cosine, vec_col, id_col, round_to)
     from logparse_spark.operators.dedup import embedding_near_dups

@@ -30,20 +30,30 @@ _HEADER_PROBE = re.compile(
 )
 
 
-def fold_lines(text: str) -> list[str]:
-    """Group raw lines into events: a header line starts a new event;
-    non-header lines (exception text, '\\tat ...' frames) append to the
-    current one (parse_log's generator fold [R-H]).  Leading orphan
-    continuation lines form one unknown-routed event — never dropped."""
-    events: list[list[str]] = []
-    for line in text.splitlines():
+def iter_fold(lines) -> "Iterator[str]":
+    """Incremental event fold over an iterable of lines: a header line
+    starts a new event; non-header lines (exception text, '\\tat ...'
+    frames) append to the current one (parse_log's generator fold
+    [R-H]).  Leading orphan continuation lines form one unknown-routed
+    event — never dropped.  Yields each event as soon as the next
+    header arrives, so it works on live pipes with O(1 event) memory."""
+    cur: list[str] = []
+    for raw in lines:
+        line = raw.rstrip("\n")
         if not line:
             continue
-        if _HEADER_PROBE.match(line) or not events:
-            events.append([line])
+        if _HEADER_PROBE.match(line) and cur:
+            yield "\n".join(cur)
+            cur = [line]
         else:
-            events[-1].append(line)
-    return ["\n".join(ev) for ev in events]
+            cur.append(line)
+    if cur:
+        yield "\n".join(cur)
+
+
+def fold_lines(text: str) -> list[str]:
+    """Whole-text variant of :func:`iter_fold` (per-file batch path)."""
+    return list(iter_fold(text.splitlines()))
 
 
 def source_from_path(path: str) -> str:
