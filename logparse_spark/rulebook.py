@@ -1126,6 +1126,108 @@ RULES: list[Rule] = [
         r"^Truncating index (?P<core>\S+)$",
         event_product="solr", event_category="solr", event_type="truncate",
     ),
+    # --- batch 4: startup checks, anticompaction, streaming repair, misc ------
+    Rule(
+        830, "StartupChecks", "startup",
+        r"^jemalloc shared library could not be preloaded to speed up memory "
+        r"allocations$",
+        event_category="startup", event_type="jemalloc_missing",
+    ),
+    Rule(
+        831, "SigarLibrary", "startup",
+        r"^Could not initialize SIGAR library (?P<detail>.*)$",
+        event_category="startup", event_type="sigar_missing",
+    ),
+    Rule(
+        832, "CLibrary", "startup",
+        r"^JNA mlockall successful$",
+        event_category="startup", event_type="mlockall",
+    ),
+    Rule(
+        833, "CLibrary", "startup",
+        r"^Unable to lock JVM memory \((?P<errno>\w+)\)\..*$",
+        event_category="startup", event_type="mlockall_failed",
+    ),
+    Rule(
+        834, "CassandraDaemon", "startup",
+        r"^Could not resolve local host$",
+        event_category="startup", event_type="resolve_failed",
+    ),
+    Rule(
+        835, "CassandraDaemon", "gossip",
+        r"^Gossip not settled after (?P<polls>\d+) polls\..*$",
+        converters={"polls": "int"},
+        event_category="gossip", event_type="settle_timeout",
+    ),
+    Rule(
+        836, "ColumnFamilyStore", "compaction",
+        r"^Unable to cancel in-progress compactions for (?P<table>[^.]+)\..*$",
+        event_category="compaction", event_type="cancel_failed",
+    ),
+    Rule(
+        846, "ColumnFamilyStore", "flush",
+        r"^Flushing SecondaryIndex (?P<index>.*)$",
+        event_product="dse", event_category="flush", event_type="index_flush",
+    ),
+    Rule(
+        837, "CompactionManager", "compaction",
+        r"^Starting anticompaction for (?P<keyspace>\S+)\.(?P<table>\S+) on "
+        r"(?P<selected>\d+)/(?P<total>\d+) sstables$",
+        converters={"selected": "int", "total": "int"},
+        event_category="compaction", event_type="anticompaction_start",
+    ),
+    Rule(
+        838, "CompactionManager", "compaction",
+        r"^Completed anticompaction successfully$",
+        event_category="compaction", event_type="anticompaction_end",
+    ),
+    Rule(
+        839, "StreamingRepairTask", "repair",
+        r"^\[streaming task #(?P<task_id>[^\]]+)\] Performing streaming repair of "
+        r"(?P<ranges>\d+) ranges with /(?P<endpoint>[\d.]+)$",
+        converters={"ranges": "int"},
+        event_category="repair", event_type="streaming_repair",
+    ),
+    Rule(
+        840, "StreamResultFuture", "streaming",
+        r"^\[Stream #(?P<stream_id>[^\]]+)\] Received streaming plan for "
+        r"(?P<operation>.*)$",
+        event_category="streaming", event_type="plan_received",
+    ),
+    Rule(
+        841, "CommitLog", "commitlog",
+        r"^Log replay complete, (?P<replayed_mutations>\d+) replayed mutations$",
+        converters={"replayed_mutations": "int"},
+        promote={"replayed_mutations": "count"},
+        event_category="commitlog", event_type="replay_complete",
+    ),
+    Rule(
+        842, "MessagingService", "network",
+        r"^Starting Messaging Service on port (?P<port>\d+).*$",
+        converters={"port": "int"},
+        event_category="network", event_type="listen",
+    ),
+    Rule(
+        843, "StorageService", "gossip",
+        r"^Removing tokens \[(?P<tokens_list>[^\]]*)\] for /(?P<endpoint>[\d.]+)$",
+        event_category="gossip", event_type="tokens_removed",
+    ),
+    Rule(
+        844, "BatchlogManager", "batch",
+        r"^Replaying batch (?P<batch_id>\S+)$",
+        event_category="batch", event_type="replay",
+    ),
+    Rule(
+        845, "JVMStabilityInspector", "exception",
+        r"^Exiting due to error while processing commit log during "
+        r"initialization\..*$",
+        event_category="error", event_type="fatal_exit",
+    ),
+    Rule(
+        847, "DseModule", "startup",
+        r"^Loading DSE module$",
+        event_product="dse", event_category="startup", event_type="module_load",
+    ),
     # --- DSE / Solr (solr.py [R-M]) ----------------------------------------
     Rule(
         300, "DseDaemon", "startup",
