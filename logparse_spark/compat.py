@@ -30,6 +30,15 @@ _TAXONOMY = {
     for row in rules_dim_rows()
 }
 
+# Header/taxonomy keys a flattened capture group must never overwrite
+# (a rule capturing e.g. `level` would silently replace the log level);
+# rulebook capture-group names are tested against this set.
+RESERVED_EVENT_KEYS = frozenset({
+    "level", "thread_name", "thread_id", "ts", "source_file", "source_line",
+    "message", "rule_id", "family", "event_product", "event_category",
+    "event_type", "source", "extra",
+})
+
 
 def event_json(text: str, source: str | None = None) -> str:
     ev = parse_text(text)
@@ -44,7 +53,7 @@ def event_json(text: str, source: str | None = None) -> str:
         "rule_id": ev["rule_id"],
         "family": ev["family"],
         **_TAXONOMY[ev["rule_id"]],
-        **ev["fields"],
+        **{k: v for k, v in ev["fields"].items() if k not in RESERVED_EVENT_KEYS},
     }
     if source is not None:
         out["source"] = source

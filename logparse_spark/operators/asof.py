@@ -23,25 +23,29 @@ def asof_join_union(
 ) -> DataFrame:
     """left rows + latest-prior `right_val`; pure window composition.
 
-    The left payload rides THROUGH the union and window (right rows get
-    typed nulls for the left-only columns), so there is no join back at
-    all — one shuffle, and duplicate left (key, ts) rows cannot
-    cross-product (they each keep their own row).  A surrogate-id join
-    is not an option: monotonically_increasing_id is not stable across
-    two AQE evaluations of the same subtree.
+    The left payload rides THROUGH the union and window packed into ONE
+    struct column (right rows carry a single null struct instead of
+    |left| typed nulls), so there is no join back at all — one shuffle,
+    the window input schema stays at 5 columns however wide the left
+    side is (tokens and friends never appear as top-level window
+    columns), and duplicate left (key, ts) rows cannot cross-product
+    (they each keep their own row).  A surrogate-id join is not an
+    option: monotonically_increasing_id is not stable across two AQE
+    evaluations of the same subtree.
     """
     out_col = out_col or f"asof_{right_val}"
     rv_type = right.schema[right_val].dataType
-    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
-        "_rv", F.lit(None).cast(rv_type)
+    payload = [f.name for f in left.schema.fields if f.name not in (key, ts)]
+    l_tag = left.select(
+        F.col(key), F.col(ts), F.lit(1).alias("_side"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+        *([F.struct(*payload).alias("_pl")] if payload else []),
     )
     r_tag = right.select(
         F.col(key), F.col(ts),
         F.lit(0).alias("_side"), F.col(right_val).alias("_rv"),
-        *[
-            F.lit(None).cast(f.dataType).alias(f.name)
-            for f in left.schema.fields if f.name not in (key, ts)
-        ],
+        *([F.lit(None).cast(l_tag.schema["_pl"].dataType).alias("_pl")]
+          if payload else []),
     )
     merged = l_tag.unionByName(r_tag)
     # right rows sort before left at equal ts (_side 0 < 1) -> "<=" semantics
@@ -50,7 +54,15 @@ def asof_join_union(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
-    return carried.where(F.col("_side") == 1).drop("_side", "_rv")
+    kept = carried.where(F.col("_side") == 1)
+    # restore the left column order, unpacking the payload struct
+    return kept.select(
+        *[
+            F.col(f.name) if f.name in (key, ts) else F.col(f"_pl.{f.name}").alias(f.name)
+            for f in left.schema.fields
+        ],
+        F.col(out_col),
+    )
 
 
 def asof_join_pandas(

@@ -125,8 +125,10 @@ def all_pairs_cosine(
     infeasible; raise max_broadcast_cells if exactness must extend.
     One aggregate job decides the gate (not separate first()+count()).
     """
+    # max(size), not first(size): first() is non-deterministic and would
+    # under-gate a ragged-dim column (n * max_d bounds the matrix)
     row = df.agg(
-        F.count("*").alias("n"), F.first(F.size(vec_col)).alias("d")
+        F.count("*").alias("n"), F.max(F.size(vec_col)).alias("d")
     ).first()
     n, d = int(row["n"] or 0), int(row["d"] or 0)
     if d and n * d <= max_broadcast_cells:

@@ -483,7 +483,7 @@ RULES: list[Rule] = [
         12, "CompactionTask", "compaction",
         # 3.x: task id + level + unit-suffixed throughputs
         r"^Compacted \((?P<task_id>[^)]+)\) (?P<sstable_count>\d+) sstables to "
-        r"\[(?P<output_sstable>[^\]]*)\] to level=(?P<level>\d+)\.\s+"
+        r"\[(?P<output_sstable>[^\]]*)\] to level=(?P<compaction_level>\d+)\.\s+"
         r"(?P<input_bytes>[\d,]+) bytes to (?P<output_bytes>[\d,]+) "
         r"\(~(?P<percent_of_original>\d+)% of original\) in (?P<duration>[\d,]+)ms\.\s+"
         r"Read Throughput = (?P<read_rate>[\d.,]+)(?P<read_unit>\w+)/s, "
@@ -493,7 +493,7 @@ RULES: list[Rule] = [
         r"(?P<partitions_merged>[\d,]+)\.\s+Partition merge counts were "
         r"\{(?P<merge_counts>[^}]*)\}$",
         converters={
-            "sstable_count": "int", "level": "int", "input_bytes": "comma_int",
+            "sstable_count": "int", "compaction_level": "int", "input_bytes": "comma_int",
             "output_bytes": "comma_int", "percent_of_original": "int",
             "duration": "comma_int", "total_partitions": "comma_int",
             "partitions_merged": "comma_int",
@@ -510,9 +510,12 @@ RULES: list[Rule] = [
     ),
     Rule(
         13, "LeveledManifest", "compaction",
-        r"^Adding high-level \(L(?P<level>\d+)\) (?P<sstable>SSTableReader\(.*\)) "
+        # capture named compaction_level, NOT level: captured fields are
+        # flattened into the compat JSON next to the header keys, and a
+        # group named `level` would silently overwrite the log level
+        r"^Adding high-level \(L(?P<compaction_level>\d+)\) (?P<sstable>SSTableReader\(.*\)) "
         r"to candidates$",
-        converters={"level": "int"},
+        converters={"compaction_level": "int"},
         event_category="compaction", event_type="leveling",
     ),
     Rule(

@@ -39,7 +39,9 @@ def iter_fold(lines) -> "Iterator[str]":
     header arrives, so it works on live pipes with O(1 event) memory."""
     cur: list[str] = []
     for raw in lines:
-        line = raw.rstrip("\n")
+        # strip \r too: on non-universal-newline inputs (binary pipes,
+        # lone-\r files) a surviving \r breaks $-anchored rule regexes
+        line = raw.rstrip("\r\n")
         if not line:
             continue
         if _HEADER_PROBE.match(line) and cur:

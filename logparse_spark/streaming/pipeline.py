@@ -54,6 +54,14 @@ def route_stream(parsed: DataFrame, sinks_path: str, checkpoint: str):
     mode('append').  Partitioning by (family, batch_id) with dynamic
     partition overwrite makes the retry idempotent — the replayed batch
     overwrites exactly its own partitions.
+
+    LAYOUT v2 (breaking): sinks gained a `batch_id` partition column vs
+    the round-1 family-partitioned append layout.  Do not mix layouts in
+    one `sinks_path` — old appended files are not overwrite-managed and
+    would survive as stale rows; point v2 runs at a fresh (or versioned)
+    directory.  Idempotency further assumes a deterministic REPLAYABLE
+    source (the file source here): a non-replayable source can re-batch
+    rows under a different batch_id on retry.
     """
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:

@@ -48,6 +48,31 @@ def test_asof_pandas(spark, sides):
     _check(asof_join_pandas(left, right, "k", "ts", "price").collect())
 
 
+def test_asof_union_wide_left_payload_rides_as_one_struct(spark, sides):
+    """A wide/heavy left schema (tokens!) must not appear as top-level
+    window columns — the payload rides packed in one struct, so the
+    window shuffle schema stays at 5 columns (VERDICT r2 #6)."""
+    from pyspark.sql import functions as F
+
+    left, right = sides
+    wide = left.select(
+        "*",
+        F.array(F.lit(1), F.lit(2), F.lit(3)).alias("tokens"),
+        F.lit("payload").alias("c1"),
+        F.lit(2.5).alias("c2"),
+    )
+    out = asof_join_union(wide, right, "k", "ts", "price")
+    assert out.columns == ["k", "ts", "name", "tokens", "c1", "c2", "asof_price"]
+    rows = out.collect()
+    got = {(r["k"], r["ts"].minute): r["asof_price"] for r in rows}
+    assert got == EXPECT, got
+    assert all(r["tokens"] == [1, 2, 3] and r["c1"] == "payload" for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert win_lines, plan
+    assert all("tokens#" not in ln for ln in win_lines), win_lines
+
+
 def test_both_impls_agree_on_larger_data(spark):
     import random
 

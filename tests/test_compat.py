@@ -36,6 +36,39 @@ def test_compat_stream_events():
     assert unk["message"] == "nothing matches this"  # never dropped
 
 
+def test_compat_capture_never_overwrites_header_keys():
+    """A rule-12 'to level=0' line must keep level=INFO in the JSON (the
+    capture group is compaction_level; flatten also skips reserved keys)."""
+    line = (
+        "INFO [CompactionExecutor:4] 2015-03-30 22:24:34,843 CompactionTask.java:116 - "
+        "Compacted (aa1aa980-1234-11e8-8053-a55b77abb1bc) 4 sstables to "
+        "[/data/ks1/t1/mc-5-big,] to level=0.  1,016,234 bytes to 1,015,000 "
+        "(~99% of original) in 1,613ms.  Read Throughput = 630.123KiB/s, "
+        "Write Throughput = 629.456KiB/s, Row Throughput = ~2,345/s.  "
+        "4,377 total partitions merged to 4,370.  Partition merge counts were {1:4363, 2:7, }"
+    )
+    evs = _parse_lines(line + "\n")
+    assert len(evs) == 1
+    ev = evs[0]
+    assert ev["rule_id"] == 12
+    assert ev["level"] == "INFO"  # NOT '0'
+    assert ev["compaction_level"] == "0"
+
+
+def test_rulebook_capture_groups_avoid_reserved_keys():
+    """No rule capture group may collide with a header/taxonomy key —
+    flattened fields would silently overwrite it in the emitted JSON."""
+    import re
+
+    from logparse_spark.compat import RESERVED_EVENT_KEYS
+    from logparse_spark.rulebook import RULES
+
+    for rule in RULES:
+        groups = set(re.compile(rule.regex).groupindex)
+        clash = groups & RESERVED_EVENT_KEYS
+        assert not clash, f"rule {rule.rule_id} captures reserved {clash}"
+
+
 def test_compat_cli_pipe():
     """The actual reference invocation shape: pipe a log through the module."""
     out = subprocess.run(

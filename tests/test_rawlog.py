@@ -24,6 +24,19 @@ def test_fold_lines():
     assert "\tat org.apache.cassandra.db.Z.w" in events[2]
 
 
+def test_iter_fold_strips_carriage_returns():
+    """CRLF input (binary-ish pipes, lone-\\r files): the trailing \\r must
+    not survive into the event text or $-anchored rules stop matching."""
+    from logparse_spark.oracle import parse_text
+    from logparse_spark.sources.rawlog import iter_fold
+
+    crlf_lines = [line + "\r\n" for line in LOG.splitlines()]
+    events = list(iter_fold(crlf_lines))
+    assert len(events) == 4
+    assert all("\r" not in ev for ev in events)
+    assert parse_text(events[1])["rule_id"] == 1  # $-anchored gc rule matches
+
+
 def test_fold_orphan_continuation_first():
     events = fold_lines("\tat orphan.frame(X.java:1)\nINFO [main] 2015-03-30 22:24:34,843 CassandraDaemon.java (line 1) Logging initialized")
     assert len(events) == 2  # orphan kept as its own (unknown) event
