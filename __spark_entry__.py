@@ -531,8 +531,11 @@ def q_text_fingerprint(spark, sf):
 
 
 def q_pipeline_histogram(spark, sf):
-    """The flagship engine itself (non-SQL-expressible: rows-only check).
-    Deterministic synthetic corpus -> rule-hit histogram."""
+    """The flagship engine itself, EXACTLY oracle-checked: deterministic
+    synthetic corpus -> rule-hit histogram, vs a DuckDB replica of the
+    full rulebook generated by logparse_spark.duck_oracle (header split,
+    class dispatch, ordered first-match over all rules, unknown rows
+    included)."""
     seq = generate_sequences(spark, 5000)
     return (
         parse_sequences(seq)
@@ -543,7 +546,7 @@ def q_pipeline_histogram(spark, sf):
 
 def q_pipeline_topk_rules(spark, sf):
     """Top-3 noisiest rules per source over the parsed pipeline output
-    (window ranking on engine data; rows-only — non-SQL source)."""
+    (window ranking on engine data; exact duck_oracle SQL twin)."""
     parsed = parse_sequences(generate_sequences(spark, 5000))
     hist = parsed.groupBy("source", "rule_id").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("rule_id"))
@@ -556,7 +559,10 @@ def q_pipeline_topk_rules(spark, sf):
 
 def q_pipeline_gc_running(spark, sf):
     """GC-pause running stats per source over the TYPED gc family view
-    (lag + moving average on promoted duration; rows-only)."""
+    (lag + moving average on promoted duration; exact duck_oracle twin —
+    the moving average is emitted x100 as BIGINT: avg*100 of 1..5
+    integer durations can never land exactly on .5, so round() agrees
+    between engines with no float-tie risk)."""
     from logparse_spark.operators.views import typed_view
 
     parsed = parse_sequences(generate_sequences(spark, 5000))
@@ -566,7 +572,7 @@ def q_pipeline_gc_running(spark, sf):
     return gc.select(
         "source", "doc_id", "duration",
         F.lag("duration").over(w).alias("prev_duration"),
-        F.round(F.avg("duration").over(wavg), 2).alias("moving_avg_5"),
+        F.round(F.avg("duration").over(wavg) * 100).cast("bigint").alias("moving_avg_x100"),
     )
 
 
@@ -820,6 +826,35 @@ def _ivf_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
             FROM qa q JOIN ca c USING (cid)
             WHERE q.query_id <> c.neighbor_id
         ) WHERE rank <= {k}
+    """
+
+
+def _pipeline_oracle(select_sql: str) -> str:
+    """Prefix a SELECT over `parsed_ev` with the generated full-rulebook
+    DuckDB parse CTE (logparse_spark.duck_oracle) for the same
+    deterministic 5000-row corpus the Spark pipeline queries parse."""
+    from logparse_spark.duck_oracle import parsed_cte
+
+    return parsed_cte(5000, 42) + select_sql
+
+
+def _gc_running_oracle() -> str:
+    from logparse_spark.duck_oracle import capture_sql, parsed_cte
+    from logparse_spark.rulebook import RULES
+
+    rule1 = next(r for r in RULES if r.rule_id == 1)
+    dur = capture_sql(rule1, "duration")
+    return parsed_cte(5000, 42) + f"""
+        SELECT source, doc_id, duration,
+               lag(duration) OVER w AS prev_duration,
+               CAST(round(avg(duration) OVER (
+                   w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 100) AS BIGINT)
+                   AS moving_avg_x100
+        FROM (
+            SELECT source, doc_id, ts, CAST({dur} AS BIGINT) AS duration
+            FROM parsed_ev WHERE rule_id = 1
+        )
+        WINDOW w AS (PARTITION BY source ORDER BY ts, doc_id)
     """
 
 
@@ -1121,6 +1156,21 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS uniq_fingerprints
             FROM documents GROUP BY source
         """,
+        "q_pipeline_histogram": _pipeline_oracle("""
+            SELECT family, rule_id, count(*) AS cnt,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens
+            FROM parsed_ev GROUP BY family, rule_id
+        """),
+        "q_pipeline_topk_rules": _pipeline_oracle("""
+            SELECT source, rule_id, cnt, CAST(rnk AS INTEGER) AS rnk FROM (
+                SELECT source, rule_id, cnt,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY cnt DESC, rule_id ASC) AS rnk
+                FROM (SELECT source, rule_id, count(*) AS cnt
+                      FROM parsed_ev GROUP BY source, rule_id)
+            ) WHERE rnk <= 3
+        """),
+        "q_pipeline_gc_running": _gc_running_oracle(),
         "q_probe_dec38_2": "SELECT 'p' AS k, CAST('1.25' AS DECIMAL(38,2)) AS v_dec38_2",
         "q_probe_dec38_4": "SELECT 'p' AS k, CAST('1.2500' AS DECIMAL(38,4)) AS v_dec38_4",
         "q_probe_dec18_2": "SELECT 'p' AS k, CAST('1.25' AS DECIMAL(18,2)) AS v_dec18_2",
@@ -1128,7 +1178,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'p' AS k, TIMESTAMP '2024-01-02 03:04:05.123456' AS v_ts"
         ),
         "q_probe_date": "SELECT 'p' AS k, DATE '2024-01-02' AS v_date",
-        # rows-only (non-SQL-expressible / approximate):
-        # q_pipeline_histogram, q_pipeline_topk_rules, q_pipeline_gc_running,
-        # q_multimodal_features, q_approx_distinct
+        # rows-only (legitimately non-SQL-checkable):
+        # q_multimodal_features (decode stub is env-limited),
+        # q_streaming_counts (streaming state), q_approx_distinct (approx)
     }
