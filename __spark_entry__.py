@@ -444,10 +444,28 @@ def q_dedup_minhash(spark, sf):
     dedup shingle) keep the near-dup graph sparse where unigram sets
     are degenerate on templated text (measured: unigrams give 2.96M
     pairs at sf0.1, 3-grams give the ~25 true template dups at sf0.01).
-    r=3, b=28 banding misses a J=0.8 pair w.p. (1-.8^3)^28 ~ 2e-9."""
+    r=3, b=28 banding misses a J=0.8 pair w.p. (1-.8^3)^28 ~ 2e-9.
+
+    max_bucket=None on purpose: this is the GROUND-TRUTH mode (a cap
+    breaks quadratic-oracle equality on duplicate-heavy corpora, see
+    dedup.minhash_near_dups).  The capped production configuration is
+    driver-visible as q_dedup_minhash_capped."""
     docs = _t(spark, sf, "documents")
     return dd.minhash_near_dups(docs, num_hashes=84, bands=28, shingle_n=3,
                                 threshold=0.8)
+
+
+def q_dedup_minhash_capped(spark, sf):
+    """The PRODUCTION minhash configuration: bucket cap engaged
+    (max_bucket=1000) so one degenerate boilerplate bucket can't
+    contribute O(B^2) candidate pairs.  On this corpus no band bucket
+    exceeds the cap (pinned by tests/test_dedup.py), so the output — and
+    therefore the same quadratic DuckDB oracle — is identical to the
+    uncapped ground truth while the driver exercises the scale-safe
+    plan."""
+    docs = _t(spark, sf, "documents")
+    return dd.minhash_near_dups(docs, num_hashes=84, bands=28, shingle_n=3,
+                                threshold=0.8, max_bucket=1000)
 
 
 def q_dedup_simhash(spark, sf):
@@ -721,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_minhash_capped": q_dedup_minhash_capped,
         "q_dedup_simhash": q_dedup_simhash,
         "q_embed_neardup": q_embed_neardup,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
@@ -859,7 +878,7 @@ def _gc_running_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_x100,
@@ -1182,3 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         # q_multimodal_features (decode stub is env-limited),
         # q_streaming_counts (streaming state), q_approx_distinct (approx)
     }
+    # the cap never binds on this corpus (test-pinned), so the capped
+    # production mode shares the uncapped ground-truth oracle exactly
+    out["q_dedup_minhash_capped"] = out["q_dedup_minhash"]
+    return out

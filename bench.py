@@ -137,7 +137,8 @@ def default_bench() -> dict:
     return result
 
 
-def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None) -> dict:
+def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
+                  mode: str = "disk") -> dict:
     """Same job, same input, several parallelism levels -> scaling
     efficiency for every 4x core pair (the N vs 4N executor proxy).
 
@@ -147,7 +148,15 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None) -> d
     against the JVM); measured, task.cpus=1 at high core counts
     oversubscribes the box 2:1 and destabilizes runs (43/92/190 s
     spread), while tc=2 is stable and faster.
+
+    mode='disk': outputs + shuffle on the single shared /tmp disk (the
+    production-shaped leg).  mode='tmpfs': outputs AND spark.local.dir
+    on /dev/shm — the COMPUTE-ONLY leg that removes the one shared disk
+    from the picture, isolating how the pipeline itself scales (the
+    host memory-bandwidth band is then the ceiling, not the spindle).
     """
+    import shutil as _sh
+
     from logparse_spark.session import get_spark
 
     n = n or pipeline_rows(_sf_of(SF_DIR))
@@ -156,22 +165,33 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None) -> d
     corpus = ensure_corpus(s0, n)
     s0.stop()
 
+    if mode == "tmpfs":
+        out_base = "/dev/shm/lp_scale"
+        extra_mode = {"spark.local.dir": "/dev/shm/lp_scale/spark-local"}
+    else:
+        out_base = "/tmp/lp_scale"
+        extra_mode = {}
+
     results = {}
     for cores in legs:
         s = get_spark(
-            app_name=f"bench-{cores}", cores=cores, shuffle_partitions=cores,
+            app_name=f"bench-{cores}-{mode}", cores=cores, shuffle_partitions=cores,
             # split size sized so every leg has >= 3 tasks/core in flight
             extra={"spark.sql.files.maxPartitionBytes": "16m",
-                   "spark.task.cpus": "2"},
+                   "spark.task.cpus": "2", **extra_mode},
         )
         # warm-up (discarded)
-        run_pipeline_once(s, corpus, f"/tmp/lp_scale_{cores}_warm")
+        run_pipeline_once(s, corpus, f"{out_base}_{cores}_warm")
         times = []
         routed = 0
         for i in range(runs):
-            dt, routed = run_pipeline_once(s, corpus, f"/tmp/lp_scale_{cores}_{i}")
+            dt, routed = run_pipeline_once(s, corpus, f"{out_base}_{cores}_{i}")
             times.append(dt)
         s.stop()
+        if mode == "tmpfs":  # don't squat tmpfs between legs
+            for d in (f"{out_base}_{cores}_warm",
+                      *(f"{out_base}_{cores}_{i}" for i in range(runs))):
+                _sh.rmtree(d, ignore_errors=True)
         med = statistics.median(times)
         results[cores] = {
             "median_sec": round(med, 2),
@@ -188,11 +208,10 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None) -> d
         for hi in ordered
         if hi == 4 * lo  # the N vs 4N pairs
     }
-    return {"legs": results, "efficiencies": efficiencies, "rows": n}
+    return {"mode": mode, "legs": results, "efficiencies": efficiencies, "rows": n}
 
 
-def write_scaling_report(res: dict) -> None:
-    os.makedirs("BENCH", exist_ok=True)
+def _mode_tables(res: dict) -> str:
     legs = sorted(int(k) for k in res["legs"])
     rows_tbl = "\n".join(
         f"| local[{c}] | {res['legs'][c]['median_sec']} | "
@@ -203,15 +222,7 @@ def write_scaling_report(res: dict) -> None:
         f"| {pair.replace('->', ' -> ')} cores (4x) | {eff} |"
         for pair, eff in res["efficiencies"].items()
     )
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH — scaling proxy (N vs 4N executors)
-
-Sandbox proxy for the north-rule two-cluster-size criterion: the SAME
-pipeline job (parse -> enrich -> route -> aggregate, sinks + metrics +
-manifests + ledger written) on the SAME pre-materialized
-{res['rows']:,}-row synthetic sequences corpus, at several local[N]
-parallelism levels (1 warm-up discarded, median of timed runs).
-
+    return f"""
 | parallelism | median wall (s) | throughput (rows/s) | runs (s) |
 |---|---|---|---|
 {rows_tbl}
@@ -219,15 +230,44 @@ parallelism levels (1 warm-up discarded, median of timed runs).
 | N -> 4N pair | scaling efficiency thr(4N)/(4 x thr(N)) |
 |---|---|
 {eff_tbl}
+"""
+
+
+def write_scaling_report(by_mode: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    rows = next(iter(by_mode.values()))["rows"]
+    sections = []
+    titles = {
+        "disk": "## Production-shaped legs (outputs + shuffle on the single shared /tmp disk)",
+        "tmpfs": "## Compute-only legs (outputs AND spark.local.dir on tmpfs /dev/shm — the shared disk removed)",
+    }
+    for mode in ("disk", "tmpfs"):
+        if mode in by_mode:
+            sections.append(titles[mode] + "\n" + _mode_tables(by_mode[mode]))
+    body = "\n".join(sections)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — scaling proxy (N vs 4N executors)
+
+Sandbox proxy for the north-rule two-cluster-size criterion: the SAME
+pipeline job (parse -> enrich -> route -> aggregate, sinks + metrics +
+manifests + ledger written) on the SAME pre-materialized
+{rows:,}-row synthetic sequences corpus, at several local[N]
+parallelism levels (1 warm-up discarded, median of timed runs).
+
+{body}
 
 Target: >= 0.8.  Reading the pairs: on a single box all "executors"
-share one memory-bandwidth/LLC domain, so the proxy understates real
-cluster scaling at high core counts — the low-core pair (where the box
-still has spare bandwidth per core, like real executors each bringing
-their own) is the faithful analogue of adding executor machines; the
-high-core pair measures intra-node saturation that a 1000-executor
-cluster does not experience (each executor is its own JVM+python worker
-set on its own host).  Both are reported for honesty.
+share one memory-bandwidth/LLC domain AND one disk, so the proxy
+understates real cluster scaling at high core counts — a 1000-executor
+cluster brings a disk and a memory controller per host.  The tmpfs legs
+are the controlled experiment for the disk half of that claim: they run
+the identical job with every byte of output and shuffle kept in memory,
+so any 8->32 efficiency gap that REMAINS there is compute/bandwidth,
+and the disk-vs-tmpfs delta at 32 cores is the measured disk tail.
+The host's measured memory-bandwidth scaling band for the same core
+pair is 0.63-0.78 (BENCH/RESULTS_r2.md) — a compute-only efficiency
+inside that band means the pipeline scales as well as this box's
+memory system physically allows.
 
 Confs: AQE on, shuffle.partitions = cores, spark.task.cpus = 2 (one JVM
 thread + one dedicated Python worker per 2 cores — the executor model;
@@ -242,11 +282,30 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--mode", choices=["disk", "tmpfs", "both"], default="both",
+                    help="scaling legs: disk (production-shaped), tmpfs "
+                         "(compute-only: outputs + spark.local.dir on /dev/shm)")
+    ap.add_argument("--legs", default="4,8,16,32",
+                    help="comma-separated local[N] leg core counts")
     args = ap.parse_args()
     if args.scaling:
-        res = scaling_bench(runs=args.runs, n=args.rows)
-        write_scaling_report(res)
-        print(json.dumps(res))
+        legs = tuple(int(x) for x in args.legs.split(","))
+        modes = ["disk", "tmpfs"] if args.mode == "both" else [args.mode]
+        by_mode = {}
+        for m in modes:
+            res = scaling_bench(legs=legs, runs=args.runs, n=args.rows, mode=m)
+            os.makedirs("BENCH", exist_ok=True)
+            with open(f"BENCH/scaling_{m}.json", "w") as f:
+                json.dump(res, f)
+            by_mode[m] = res
+        # merge with any previously persisted other-mode results so a
+        # single-mode rerun refreshes, not erases, the report
+        for m in ("disk", "tmpfs"):
+            p = f"BENCH/scaling_{m}.json"
+            if m not in by_mode and os.path.exists(p):
+                by_mode[m] = json.load(open(p))
+        write_scaling_report(by_mode)
+        print(json.dumps(by_mode))
     else:
         print(json.dumps(default_bench()))
 

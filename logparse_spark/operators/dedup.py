@@ -281,21 +281,30 @@ def minhash_near_dups(
         df, text_col, id_col, num_hashes, bands, shingle_n, seed,
         impl="np", max_bucket=max_bucket,
     )
-    sha = df.select(
-        F.col(id_col).alias("_ia"),
-        word_shingles(F.col(text_col), shingle_n).alias("sa"),
+    # verify via melt-join: ONE scan of `documents` (round 2 joined two
+    # separate shingle projections — two full scans of the corpus for
+    # the verify stage alone).  Candidates melt to (pair, id) rows, join
+    # the single shingle projection once, and the pair's two shingle
+    # sets meet again in a tiny groupBy keyed by the pair itself
+    # (Jaccard is symmetric, so collect_list order doesn't matter).
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
-    shb = df.select(
-        F.col(id_col).alias("_ib"),
-        word_shingles(F.col(text_col), shingle_n).alias("sb"),
+    melted = cand.select(
+        F.struct(F.col("id_a"), F.col("id_b")).alias("pid"),
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
     )
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    pairs = (
+        melted.join(sh, "id")
+        .groupBy("pid")
+        .agg(F.collect_list("sh").alias("shs"))
+    )
+    inter = F.size(F.array_intersect(F.col("shs")[0], F.col("shs")[1]))
+    union = F.size(F.array_union(F.col("shs")[0], F.col("shs")[1]))
     return (
-        cand.join(sha, F.col("id_a") == F.col("_ia"))
-        .join(shb, F.col("id_b") == F.col("_ib"))
-        .where(inter / F.when(union > 0, union) >= threshold)
-        .select("id_a", "id_b")
+        pairs.where(inter / F.when(union > 0, union) >= threshold)
+        .select(F.col("pid.id_a").alias("id_a"), F.col("pid.id_b").alias("id_b"))
     )
 
 

@@ -114,6 +114,16 @@ def test_minhash_bucket_cap_survives_duplicate_heavy_corpus(spark):
     assert dropped and all(r["size"] == 2000 for r in dropped)
 
 
+def test_capped_minhash_cap_never_binds_on_driver_corpus(spark):
+    """q_dedup_minhash_capped shares the uncapped ground-truth oracle —
+    valid ONLY while no band bucket of the driver corpus exceeds the
+    cap.  Pin that premise at both driver scale factors."""
+    kw = dict(num_hashes=84, bands=28, shingle_n=3, max_bucket=1000)
+    for sf in ("sf0.001", "sf0.01"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        assert dd.minhash_dropped_buckets(docs, **kw).count() == 0, sf
+
+
 def test_simhash_sql_matches_planted_pairs(spark):
     out = {r["id"]: r["sh"] for r in dd.simhash_sql(_docs(spark)).collect()}
     assert out["d1"] == out["d2"]          # identical text -> identical hash
