@@ -480,7 +480,13 @@ def q_dedup_simhash(spark, sf):
 def q_embed_neardup(spark, sf):
     """Exact cosine near-dup pairs via the size-gated front door: small
     inputs take the broadcast-GEMM path (BLAS throughput), anything past
-    the broadcast budget falls through to LSH buckets automatically."""
+    the broadcast budget falls through to LSH buckets automatically.
+
+    Oracle-safety of the gate: the exact quadratic oracle is valid on
+    the GEMM side only; the 50M-cell gate trips at ~780k 64-dim vectors
+    while the driver corpora are ~5k (sf0.1) — 2 orders of magnitude of
+    headroom, and the gate is max(size)-based so ragged dims can't
+    under-gate (ADVICE r2)."""
     em = _t(spark, sf, "embeddings")
     return sim.all_pairs_cosine(em, min_cosine=0.3)
 

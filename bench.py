@@ -287,24 +287,32 @@ def main() -> None:
                          "(compute-only: outputs + spark.local.dir on /dev/shm)")
     ap.add_argument("--legs", default="4,8,16,32",
                     help="comma-separated local[N] leg core counts")
+    ap.add_argument("--tag", default="",
+                    help="suffix for the persisted BENCH/scaling_*.json "
+                         "(extra experiments: serial floor, bigger inputs)")
+    ap.add_argument("--no-report", action="store_true",
+                    help="persist JSON only; BASELINE.md is hand-curated "
+                         "from several experiments")
     args = ap.parse_args()
     if args.scaling:
         legs = tuple(int(x) for x in args.legs.split(","))
         modes = ["disk", "tmpfs"] if args.mode == "both" else [args.mode]
+        suffix = f"_{args.tag}" if args.tag else ""
         by_mode = {}
         for m in modes:
             res = scaling_bench(legs=legs, runs=args.runs, n=args.rows, mode=m)
             os.makedirs("BENCH", exist_ok=True)
-            with open(f"BENCH/scaling_{m}.json", "w") as f:
+            with open(f"BENCH/scaling_{m}{suffix}.json", "w") as f:
                 json.dump(res, f)
             by_mode[m] = res
-        # merge with any previously persisted other-mode results so a
-        # single-mode rerun refreshes, not erases, the report
-        for m in ("disk", "tmpfs"):
-            p = f"BENCH/scaling_{m}.json"
-            if m not in by_mode and os.path.exists(p):
-                by_mode[m] = json.load(open(p))
-        write_scaling_report(by_mode)
+        if not args.no_report:
+            # merge with any previously persisted other-mode results so a
+            # single-mode rerun refreshes, not erases, the report
+            for m in ("disk", "tmpfs"):
+                p = f"BENCH/scaling_{m}{suffix}.json"
+                if m not in by_mode and os.path.exists(p):
+                    by_mode[m] = json.load(open(p))
+            write_scaling_report(by_mode)
         print(json.dumps(by_mode))
     else:
         print(json.dumps(default_bench()))

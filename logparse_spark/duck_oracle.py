@@ -94,12 +94,18 @@ def materialize_corpus(n: int = 5000, seed: int = 42) -> str:
     Spark session.  Content is a pure function of (n, seed); the file is
     written once via atomic rename (idempotent, concurrency-safe).
     """
+    import zlib
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from logparse_spark.sources.datagen import make_event
 
-    path = os.path.join(CORPUS_DIR, f"oracle_corpus_{n}_{seed}.parquet")
+    # cache key includes a content fingerprint so a datagen change can
+    # never leave a stale corpus parquet behind the SQL oracle's back
+    probe = b"|".join(bytes(make_event(i, seed)[1]) for i in range(0, min(n, 500), 7))
+    fp = f"{zlib.crc32(probe):08x}"
+    path = os.path.join(CORPUS_DIR, f"oracle_corpus_{n}_{seed}_{fp}.parquet")
     if os.path.exists(path):
         return path
     rows = [make_event(i, seed) for i in range(n)]

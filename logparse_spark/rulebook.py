@@ -1273,6 +1273,399 @@ RULES: list[Rule] = [
         r"^Executing hard commit on index (?P<core>\S+)$",
         event_product="solr", event_category="solr", event_type="hard_commit",
     ),
+    # --- batch 5: ring membership / decommission ---------------------------
+    Rule(
+        900, "StorageService", "gossip",
+        r"^LEAVING: (?P<leaving_status>.*)$",
+        event_category="membership", event_type="leaving",
+    ),
+    Rule(
+        901, "StorageService", "gossip",
+        r"^MOVING: (?P<moving_status>.*)$",
+        event_category="membership", event_type="moving",
+    ),
+    Rule(
+        902, "StorageService", "gossip",
+        r"^Announcing that I have left the ring for (?P<delay_ms>\d+)ms$",
+        converters={"delay_ms": "int"},
+        event_category="membership", event_type="left_ring",
+    ),
+    Rule(
+        903, "StorageService", "gossip",
+        r"^Removing token (?P<token>-?\d+) for /(?P<endpoint>[\d.]+)$",
+        event_category="membership", event_type="token_removed",
+    ),
+    Rule(
+        904, "StorageService", "repair",
+        r"^Repair session (?P<session_id>\S+) failed with error (?P<error>.*)$",
+        event_category="repair", event_type="session_failed",
+    ),
+    Rule(
+        905, "Gossiper", "gossip",
+        r"^removing expire time for endpoint : /(?P<endpoint>[\d.]+)$",
+        event_category="gossip", event_type="expire_cleared",
+    ),
+    Rule(
+        906, "Gossiper", "gossip",
+        r"^Assassinating /(?P<endpoint>[\d.]+) immediately$",
+        event_category="gossip", event_type="assassinate",
+    ),
+    # --- batch 5: schema / truncate -----------------------------------------
+    Rule(
+        907, "ColumnFamilyStore", "schema",
+        r"^Truncating (?P<keyspace_table>\S+\.\S+)$",
+        event_category="schema", event_type="truncate_begin",
+    ),
+    Rule(
+        908, "ColumnFamilyStore", "schema",
+        r"^Truncate of (?P<keyspace_table>\S+\.\S+) is complete$",
+        event_category="schema", event_type="truncate_end",
+    ),
+    Rule(
+        909, "MigrationManager", "schema",
+        # 1.2 naming of the 2.0+ "Drop table" message (rule 242)
+        r"^Drop ColumnFamily '(?P<keyspace_table>[^']+)'$",
+        event_category="schema", event_type="drop_table",
+    ),
+    Rule(
+        910, "MigrationManager", "schema",
+        r"^Create new ColumnFamily: (?P<table_def>.*)$",
+        event_category="schema", event_type="create_table",
+    ),
+    Rule(
+        911, "QueryProcessor", "cql",
+        r"^Column definitions for (?P<keyspace_table>\S+) changed, "
+        r"invalidating related prepared statements$",
+        event_category="cql", event_type="prepared_invalidated",
+    ),
+    Rule(
+        912, "ViewManager", "schema",
+        r"^Not submitting build tasks for views in keyspace (?P<keyspace>\S+) "
+        r"as storage service is not initialized$",
+        event_category="schema", event_type="view_build_skipped",
+    ),
+    # --- batch 5: repair (1.2 AntiEntropyService + 2.x Differencer + 3.x) ---
+    Rule(
+        913, "RepairSession", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] Requesting merkle trees for "
+        r"(?P<table>\S+) \(to \[(?P<endpoints>[^\]]*)\]\)$",
+        event_category="repair", event_type="merkle_request",
+    ),
+    Rule(
+        914, "RepairSession", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] Cannot proceed on repair because "
+        r"a neighbor \(/(?P<endpoint>[\d.]+)\) is dead: session failed$",
+        event_category="repair", event_type="session_failed",
+    ),
+    Rule(
+        915, "Differencer", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] Endpoints /(?P<endpoint_a>[\d.]+) "
+        r"and /(?P<endpoint_b>[\d.]+) are consistent for (?P<table>\S+)$",
+        event_category="repair", event_type="consistent",
+    ),
+    Rule(
+        916, "Differencer", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] Endpoints /(?P<endpoint_a>[\d.]+) "
+        r"and /(?P<endpoint_b>[\d.]+) have (?P<ranges>\d+) range\(s\) out of "
+        r"sync for (?P<table>\S+)$",
+        converters={"ranges": "int"},
+        event_category="repair", event_type="out_of_sync",
+    ),
+    Rule(
+        917, "ActiveRepairService", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] Not a global repair, will not "
+        r"do anticompaction$",
+        event_category="repair", event_type="anticompaction_skipped",
+    ),
+    Rule(
+        918, "StreamingRepairTask", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] streaming task succeed, "
+        r"returning response to /(?P<endpoint>[\d.]+)$",
+        event_category="repair", event_type="stream_task_done",
+    ),
+    Rule(
+        919, "RepairRunnable", "repair",
+        r"^Repair command #(?P<command>\d+) finished in (?P<duration_text>.*)$",
+        converters={"command": "int"},
+        event_category="repair", event_type="command_finished",
+    ),
+    Rule(
+        920, "RepairRunnable", "repair",
+        # 3.11 variant of rule 276: command id carries a session uuid
+        r"^Starting repair command #(?P<command>\d+) \((?P<session_id>[^)]+)\), "
+        r"repairing keyspace (?P<keyspace>\S+) with repair options "
+        r"\((?P<options>.*)\)$",
+        converters={"command": "int"},
+        event_category="repair", event_type="command_start",
+    ),
+    Rule(
+        921, "AntiEntropyService", "repair",
+        # 1.2 classing of the merkle-tree messages (2.0 moved them to
+        # RepairSession/Validator; (ks,cf) tuple instead of ks.cf)
+        r"^\[repair #(?P<session_id>[^\]]+)\] Sending completed merkle tree "
+        r"to /(?P<endpoint>[\d.]+) for \((?P<keyspace>[^,]+),(?P<table>[^)]+)\)$",
+        event_category="repair", event_type="merkle_sent",
+    ),
+    Rule(
+        922, "AntiEntropyService", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] Received merkle tree for "
+        r"(?P<table>\S+) from /(?P<endpoint>[\d.]+)$",
+        event_category="repair", event_type="merkle_received",
+    ),
+    Rule(
+        923, "AntiEntropyService", "repair",
+        r"^\[repair #(?P<session_id>[^\]]+)\] (?P<table>\S+) is fully synced$",
+        event_category="repair", event_type="table_synced",
+    ),
+    # --- batch 5: streaming failures ----------------------------------------
+    Rule(
+        924, "StreamResultFuture", "streaming",
+        r"^\[Stream #(?P<stream_id>[^\]]+)\] Stream failed$",
+        event_category="streaming", event_type="failed",
+    ),
+    Rule(
+        925, "StreamSession", "streaming",
+        r"^\[Stream #(?P<stream_id>[^\]]+)\] Streaming error occurred$",
+        event_category="streaming", event_type="error",
+    ),
+    # --- batch 5: memory / JVM stability -------------------------------------
+    Rule(
+        926, "Ref", "memory",
+        r"^LEAK DETECTED: a reference \((?P<reference>[^)]+)\) to (?P<target>.*) "
+        r"was not released before the reference was garbage collected$",
+        event_category="memory", event_type="leak",
+    ),
+    Rule(
+        927, "JVMStabilityInspector", "exception",
+        r"^JVM state determined to be unstable\.\s+Exiting forcefully due "
+        r"to:.*$",
+        event_category="error", event_type="fatal_exit",
+    ),
+    # --- batch 5: startup checks / environment -------------------------------
+    Rule(
+        928, "StartupChecks", "startup",
+        r"^JMX is not enabled to receive remote connections\. Please see "
+        r"cassandra-env\.sh for more info\.$",
+        event_category="startup", event_type="jmx_local_only",
+    ),
+    Rule(
+        929, "StartupChecks", "startup",
+        r"^OpenJDK is not recommended\. Please upgrade to the newest Oracle "
+        r"Java release$",
+        event_category="startup", event_type="jdk_warning",
+    ),
+    Rule(
+        930, "StartupChecks", "startup",
+        r"^Directory (?P<directory>\S+) doesn't exist$",
+        event_category="startup", event_type="missing_directory",
+    ),
+    Rule(
+        931, "StartupChecks", "startup",
+        r"^Maximum number of memory map areas per process \(vm\.max_map_count\) "
+        r"(?P<current>\d+) is too low, recommended value: (?P<recommended>\d+), "
+        r"you can change it with sysctl\.$",
+        converters={"current": "int", "recommended": "int"},
+        event_category="startup", event_type="max_map_count_low",
+    ),
+    Rule(
+        932, "SigarLibrary", "startup",
+        r"^Sigar could not be initialized, test for checking degraded mode "
+        r"omitted\.$",
+        event_category="startup", event_type="sigar_missing",
+    ),
+    Rule(
+        933, "SigarLibrary", "startup",
+        r"^Checked OS settings and found them configured for optimal "
+        r"performance\.$",
+        event_category="startup", event_type="os_ok",
+    ),
+    Rule(
+        934, "SigarLibrary", "startup",
+        r"^Cassandra server running in degraded mode\..*$",
+        event_category="startup", event_type="degraded_mode",
+    ),
+    Rule(
+        935, "NativeLibrary", "startup",
+        # 3.x rename of CLibrary (rules 832/833)
+        r"^JNA mlockall successful$",
+        event_category="startup", event_type="mlockall",
+    ),
+    Rule(
+        936, "NativeLibrary", "startup",
+        r"^Unable to lock JVM memory \((?P<errno>\w+)\)\..*$",
+        event_category="startup", event_type="mlockall_failed",
+    ),
+    Rule(
+        937, "CassandraDaemon", "startup",
+        # 3.11 unit-suffixed variant of rule 61
+        r"^Heap size: (?P<heap_used>[\d.]+)(?P<used_unit>[KMG]iB)/"
+        r"(?P<heap_max>[\d.]+)(?P<max_unit>[KMG]iB)$",
+        event_category="startup", event_type="heap",
+    ),
+    Rule(
+        938, "CassandraRoleManager", "auth",
+        r"^Skipped default superuser setup: some nodes were not ready$",
+        event_category="auth", event_type="superuser_skipped",
+    ),
+    # --- batch 5: gc (1.2 format) --------------------------------------------
+    Rule(
+        939, "GCInspector", "gc",
+        r"^GC for (?P<gc_type>\w+): (?P<duration>\d+) ms, (?P<reclaimed>\d+) "
+        r"reclaimed leaving (?P<used>\d+) used; max is (?P<max>\d+)$",
+        converters={"duration": "int", "reclaimed": "int", "used": "int",
+                    "max": "int"},
+        promote={"duration": "duration_ms", "used": "bytes_in"},
+        event_category="garbage_collection", event_type="pause",
+    ),
+    # --- batch 5: status / caches / commitlog --------------------------------
+    Rule(
+        940, "StatusLogger", "status",
+        r"^Cache Type\s+Size\s+Capacity\s+KeysToSave.*$",
+        event_category="status", event_type="header",
+    ),
+    Rule(
+        941, "AutoSavingCache", "cache",
+        r"^Harmless error reading saved cache (?P<filename>\S+)$",
+        event_category="cache", event_type="read_error",
+    ),
+    Rule(
+        942, "CommitLogReplayer", "commitlog",
+        r"^Skipped (?P<count>\d+) mutations from unknown \(probably removed\) "
+        r"CF with id (?P<cf_id>\S+)$",
+        converters={"count": "int"},
+        promote={"count": "count"},
+        event_category="commitlog", event_type="skipped_mutations",
+    ),
+    Rule(
+        943, "CommitLogAllocator", "commitlog",
+        r"^No segments in reserve; creating a fresh one$",
+        event_category="commitlog", event_type="new_segment",
+    ),
+    Rule(
+        944, "SystemKeyspace", "startup",
+        r"^Detected version upgrade from (?P<from_version>\S+) to "
+        r"(?P<to_version>\S+), snapshotting system keyspace$",
+        event_category="startup", event_type="version_upgrade",
+    ),
+    # --- batch 5: network / messaging -----------------------------------------
+    Rule(
+        945, "MessagingService", "network",
+        r"^MessagingService has terminated the accept\(\) thread$",
+        event_category="network", event_type="accept_terminated",
+    ),
+    Rule(
+        946, "StorageProxy", "cql",
+        r"^Mutation of (?P<bytes>\d+) bytes is too large for the maximum size "
+        r"of (?P<max_bytes>\d+)$",
+        converters={"bytes": "int", "max_bytes": "int"},
+        promote={"bytes": "bytes_in"},
+        event_category="cql", event_type="mutation_too_large",
+    ),
+    Rule(
+        947, "CustomTThreadPoolServer", "cql",
+        r"^Error occurred during processing of message\.$",
+        event_category="cql", event_type="thrift_error",
+    ),
+    # --- batch 5: sstable / compaction variants -------------------------------
+    Rule(
+        948, "SSTableReader", "sstable",
+        # 3.x unit-suffixed variant of rule 90
+        r"^Opening (?P<filename>\S+) \((?P<size>[\d.]+)(?P<unit>[KMG]iB|B)\)$",
+        event_category="sstable", event_type="open",
+    ),
+    Rule(
+        949, "LeveledManifest", "compaction",
+        r"^L0 is too far behind, performing size-tiering.*$",
+        event_category="compaction", event_type="l0_fallback",
+    ),
+    # --- batch 5: hints / batch / reads ----------------------------------------
+    Rule(
+        950, "HintsDispatchExecutor", "hints",
+        # 3.x partial-delivery variant of rule 214
+        r"^Finished hinted handoff of file (?P<filename>\S+) to endpoint "
+        r"/(?P<endpoint>[\d.]+): (?P<host_id>\S+), partially$",
+        event_category="hints", event_type="delivered_partial",
+    ),
+    Rule(
+        951, "BatchlogManager", "batch",
+        r"^Finished replayAllFailedBatches$",
+        event_category="batch", event_type="replay_done",
+    ),
+    Rule(
+        952, "MonitoringTask", "read",
+        r"^Some operations were slow, details available at debug level "
+        r"\(debug\.log\)$",
+        event_category="read", event_type="slow_summary",
+    ),
+    Rule(
+        953, "SliceQueryFilter", "read",
+        # 2.0 wording: "tombstoned" (2.1+ says "tombstone", rule 500)
+        r"^Read (?P<live>\d+) live and (?P<tombstones>\d+) tombstoned cells in "
+        r"(?P<keyspace_table>\S+) for key: (?P<key>\S+) \(see "
+        r"tombstone_warn_threshold\)\..*$",
+        converters={"live": "int", "tombstones": "int"},
+        promote={"tombstones": "count"},
+        event_category="read", event_type="tombstone_warn",
+    ),
+    # --- batch 5: DSE / Solr breadth ------------------------------------------
+    Rule(
+        954, "CqlSlowLogWriter", "cql",
+        r"^Recording statements with duration of (?P<duration>\d+) in slow "
+        r"log$",
+        converters={"duration": "int"},
+        promote={"duration": "duration_ms"},
+        event_product="dse", event_category="cql", event_type="slow_query",
+    ),
+    Rule(
+        955, "PluginManager", "startup",
+        r"^Activating plugin: (?P<plugin>\S+)$",
+        event_product="dse", event_category="startup", event_type="plugin",
+    ),
+    Rule(
+        956, "DseConfig", "startup",
+        r"^Load of settings is done\.$",
+        event_product="dse", event_category="startup", event_type="config_loaded",
+    ),
+    Rule(
+        957, "DseConfig", "startup",
+        r"^CQL slow log is enabled$",
+        event_product="dse", event_category="startup", event_type="slowlog_enabled",
+    ),
+    Rule(
+        958, "SolrDispatchFilter", "solr",
+        r"^SolrDispatchFilter\.init\(\)$",
+        event_product="solr", event_category="solr", event_type="filter_init",
+    ),
+    Rule(
+        959, "SolrDispatchFilter", "solr",
+        r"^SolrDispatchFilter\.init\(\) done$",
+        event_product="solr", event_category="solr", event_type="filter_ready",
+    ),
+    Rule(
+        960, "CoreContainer", "solr",
+        r"^New CoreContainer (?P<container_id>\d+)$",
+        event_product="solr", event_category="solr", event_type="container",
+    ),
+    Rule(
+        961, "SolrCore", "solr",
+        r"^\[(?P<core>\S+)\] Closing main searcher on request\.$",
+        event_product="solr", event_category="solr", event_type="searcher_close",
+    ),
+    Rule(
+        962, "SolrIndexSearcher", "solr",
+        r"^Opening (?P<searcher>Searcher@\S+(?:\[[^\]]*\])?) (?P<mode>\w+)$",
+        event_product="solr", event_category="solr", event_type="searcher_open",
+    ),
+    Rule(
+        963, "UpdateHandler", "solr",
+        r"^start commit\{(?P<options>[^}]*)\}$",
+        event_product="solr", event_category="solr", event_type="commit_start",
+    ),
+    Rule(
+        964, "UpdateHandler", "solr",
+        r"^end_commit_flush$",
+        event_product="solr", event_category="solr", event_type="commit_end",
+    ),
 ]
 
 FAMILIES: list[str] = sorted({r.family for r in RULES} | {UNKNOWN_FAMILY})
