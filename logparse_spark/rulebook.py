@@ -1666,6 +1666,94 @@ RULES: list[Rule] = [
         r"^end_commit_flush$",
         event_product="solr", event_category="solr", event_type="commit_end",
     ),
+    # --- batch 6: native transport / daemon errors ---------------------------
+    Rule(
+        965, "Message", "cql",
+        r"^Unexpected exception during request; channel = "
+        r"\[(?P<channel>[^\]]*)\]$",
+        event_category="cql", event_type="request_error",
+    ),
+    Rule(
+        966, "Message", "cql",
+        r"^Unexpected exception during request.*$",
+        event_category="cql", event_type="request_error",
+    ),
+    Rule(
+        967, "CassandraDaemon", "exception",
+        r"^Exception encountered during startup: (?P<error>.*)$",
+        event_category="error", event_type="startup_exception",
+    ),
+    Rule(
+        968, "CassandraDaemon", "exception",
+        r"^Exception encountered during startup$",
+        event_category="error", event_type="startup_exception",
+    ),
+    # --- batch 6: scrub / token conflicts / hints ----------------------------
+    Rule(
+        969, "Scrubber", "compaction",
+        r"^Scrubbing (?P<sstable>SSTableReader\(.*\)) \((?P<bytes>\d+) bytes\)$",
+        converters={"bytes": "int"},
+        promote={"bytes": "bytes_in"},
+        event_category="compaction", event_type="scrub_begin",
+    ),
+    Rule(
+        970, "Scrubber", "compaction",
+        r"^Scrub of (?P<sstable>SSTableReader\(.*\)) complete: "
+        r"(?P<rows>\d+) rows in new sstable and (?P<empty_rows>\d+) empty "
+        r"\(tombstoned\) rows dropped$",
+        converters={"rows": "int", "empty_rows": "int"},
+        promote={"rows": "count"},
+        event_category="compaction", event_type="scrub_end",
+    ),
+    Rule(
+        971, "HintedHandOffManager", "hints",
+        r"^Endpoint /(?P<endpoint>[\d.]+) died before hint delivery, "
+        r"aborting$",
+        event_category="hints", event_type="endpoint_died",
+    ),
+    Rule(
+        972, "StorageService", "gossip",
+        r"^Nodes /(?P<endpoint_a>[\d.]+) and /(?P<endpoint_b>[\d.]+) have the "
+        r"same token (?P<token>-?\d+)\.\s+/(?P<new_owner>[\d.]+) is the new "
+        r"owner$",
+        event_category="membership", event_type="token_conflict",
+    ),
+    # --- batch 6: commitlog / snitch ----------------------------------------
+    Rule(
+        973, "CommitLog", "commitlog",
+        # multi-segment replay is logged as ONE joined line by CommitLog
+        # (the per-segment lines are CommitLogReplayer, rules 100/222/224)
+        r"^Replaying (?P<filenames>\S+\.log(?:, \S+\.log)+)$",
+        event_category="commitlog", event_type="replay_begin",
+    ),
+    Rule(
+        974, "GossipingPropertyFileSnitch", "startup",
+        r"^Unable to load cassandra-topology\.properties; compatibility mode "
+        r"disabled$",
+        event_category="startup", event_type="snitch_compat_off",
+    ),
+    # --- batch 6: Solr core lifecycle ----------------------------------------
+    Rule(
+        975, "SolrConfig", "solr",
+        r"^Using Lucene MatchVersion: (?P<lucene_version>\S+)$",
+        event_product="solr", event_category="solr", event_type="lucene_version",
+    ),
+    Rule(
+        976, "IndexSchema", "solr",
+        r"^Reading Solr Schema from (?P<schema_file>\S+)$",
+        event_product="solr", event_category="solr", event_type="schema_read",
+    ),
+    Rule(
+        977, "CoreContainer", "solr",
+        r"^registering core: (?P<core>\S+)$",
+        event_product="solr", event_category="solr", event_type="core_register",
+    ),
+    Rule(
+        978, "SolrCore", "solr",
+        r"^\[(?P<core>\S+)\] Registered new searcher "
+        r"(?P<searcher>Searcher@\S+(?:\[[^\]]*\])?).*$",
+        event_product="solr", event_category="solr", event_type="searcher_registered",
+    ),
 ]
 
 FAMILIES: list[str] = sorted({r.family for r in RULES} | {UNKNOWN_FAMILY})

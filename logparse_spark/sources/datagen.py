@@ -168,6 +168,41 @@ def _templates():
         (0.01, "NoSpamLogger", "SharedPool-Worker-1", "WARN", lambda r: (
             f"Maximum memory usage reached ({r.randint(128, 1024)}.000MiB), "
             f"cannot allocate chunk of 1.000MiB")),
+        # --- round-3 rule families (batches 5/6 exercised E2E) --------------
+        (0.004, "Differencer", "AntiEntropyStage:1", None, lambda r: (
+            f"[repair #{r.randint(10**7, 9 * 10**7):x}-{r.randint(1000, 9999):x}] "
+            f"Endpoints /{_ip(r)} and /{_ip(r)} are consistent for {r.choice(_TABLES)}")),
+        (0.003, "RepairSession", "AntiEntropySessions:2", None, lambda r: (
+            f"[repair #{r.randint(10**7, 9 * 10**7):x}-{r.randint(1000, 9999):x}] "
+            f"Requesting merkle trees for {r.choice(_TABLES)} "
+            f"(to [/{_ip(r)}, /{_ip(r)}])")),
+        (0.002, "StartupChecks", "main", "WARN", lambda r: (
+            "JMX is not enabled to receive remote connections. "
+            "Please see cassandra-env.sh for more info.")),
+        (0.002, "NativeLibrary", "main", None, lambda r: "JNA mlockall successful"),
+        (0.002, "Ref", "Reference-Reaper:1", "ERROR", lambda r: (
+            f"LEAK DETECTED: a reference (org.apache.cassandra.utils.concurrent."
+            f"Ref$State@{r.randint(10**7, 9 * 10**7):x}) to class org.apache."
+            f"cassandra.io.sstable.format.SSTableReader$InstanceTidier@"
+            f"{r.randint(10**8, 2 * 10**9)}:{_sstable(r)} was not released "
+            f"before the reference was garbage collected")),
+        (0.003, "Message", "Native-Transport-Requests:7", "ERROR", lambda r: (
+            f"Unexpected exception during request; channel = [id: 0x{r.randint(10**7, 9 * 10**7):08x}, "
+            f"/{_ip(r)}:{r.randint(30000, 60000)} => /{_ip(r)}:9042]")),
+        (0.003, "SolrCore", "qtp1234-56", None, lambda r: (
+            f"[{r.choice(_KEYSPACES)}.{r.choice(_TABLES)}] Registered new searcher "
+            f"Searcher@{r.randint(10**7, 9 * 10**7):x}[{r.choice(_KEYSPACES)}."
+            f"{r.choice(_TABLES)}] main{{StandardDirectoryReader(segments_2:"
+            f"{r.randint(1, 99)}:nrt)}}")),
+        (0.004, "GCInspector", "ScheduledTasks:1", None, lambda r: (
+            f"GC for {r.choice(_GC_TYPES)}: {r.randint(50, 900)} ms, "
+            f"{r.randint(10**7, 10**9)} reclaimed leaving {r.randint(10**8, 8 * 10**9)} "
+            f"used; max is {r.choice([8000634880, 4000317440])}")),
+        (0.002, "Scrubber", "CompactionExecutor:9", None, lambda r: (
+            f"Scrubbing SSTableReader(path='{_sstable(r)}-Data.db') "
+            f"({r.randint(100, 10**9)} bytes)")),
+        (0.002, "StorageService", "RMI TCP Connection(3)-127.0.0.1", None, lambda r: (
+            "LEAVING: sleeping 30000 ms for batch processing and pending range setup")),
     ]
 
 

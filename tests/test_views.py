@@ -23,7 +23,7 @@ def test_gc_view_typed_values(spark):
     for r in rows:
         assert isinstance(r["duration"], int)
         assert r["duration"] == r["duration"]  # non-null for both gc rules
-        if r["rule_id"] == 1:
+        if r["rule_id"] in (1, 939):  # 2.x and 1.2 GCInspector both capture `used`
             assert isinstance(r["used"], int)
         else:  # rule 2 has no `used` capture -> sparse NULL
             assert r["used"] is None
