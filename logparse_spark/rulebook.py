@@ -1754,6 +1754,78 @@ RULES: list[Rule] = [
         r"(?P<searcher>Searcher@\S+(?:\[[^\]]*\])?).*$",
         event_product="solr", event_category="solr", event_type="searcher_registered",
     ),
+    # --- batch 7: startup env / schema migration / auth caches ---------------
+    Rule(
+        979, "Mx4jTool", "startup",
+        r"^Will not load MX4J, mx4j-tools\.jar is not in the classpath$",
+        event_category="startup", event_type="mx4j_absent",
+    ),
+    Rule(
+        980, "LegacySchemaMigrator", "schema",
+        r"^Moving (?P<count>\d+) keyspaces from legacy schema tables to the "
+        r"new schema keyspace \(system_schema\)$",
+        converters={"count": "int"},
+        promote={"count": "count"},
+        event_category="schema", event_type="legacy_migration",
+    ),
+    Rule(
+        981, "AuthCache", "auth",
+        r"^\(Re\)initializing (?P<cache_name>\w+) \(validity period/update "
+        r"interval/max entries\) \((?P<validity_ms>\d+)/"
+        r"(?P<update_interval_ms>\d+)/(?P<max_entries>\d+)\)$",
+        converters={"validity_ms": "int", "update_interval_ms": "int",
+                    "max_entries": "int"},
+        event_category="auth", event_type="cache_init",
+    ),
+    Rule(
+        982, "CacheService", "cache",
+        r"^Initializing (?P<cache_kind>\w+) cache with capacity of "
+        r"(?P<capacity_mb>\d+) MBs and provider (?P<provider>\S+)$",
+        converters={"capacity_mb": "int"},
+        event_category="cache", event_type="init",
+    ),
+    # --- batch 7: bootstrap / cleanup / compaction strategy ------------------
+    Rule(
+        983, "StorageService", "bootstrap",
+        r"^Generated random tokens\. tokens are \[(?P<tokens_list>[^\]]*)\]$",
+        event_category="membership", event_type="tokens_generated",
+    ),
+    Rule(
+        984, "StorageService", "bootstrap",
+        r"^This node will not auto bootstrap because it is configured to be "
+        r"a seed node\.$",
+        event_category="membership", event_type="seed_no_bootstrap",
+    ),
+    Rule(
+        985, "CompactionManager", "compaction",
+        r"^Cleanup cannot run before a node has joined the ring$",
+        event_category="compaction", event_type="cleanup_rejected",
+    ),
+    Rule(
+        986, "CompactionStrategyManager", "compaction",
+        r"^Recreating compaction strategy - disk boundaries are out of date "
+        r"for (?P<keyspace>[^.]+)\.(?P<table>\S+)\.$",
+        event_category="compaction", event_type="strategy_recreated",
+    ),
+    Rule(
+        987, "OutboundTcpConnection", "network",
+        r"^OutboundTcpConnection using coalescing strategy "
+        r"(?P<strategy>\S+)$",
+        event_category="network", event_type="coalescing_strategy",
+    ),
+    # --- batch 7: DSE Search core resources ----------------------------------
+    Rule(
+        988, "SolrCoreResourceManager", "solr",
+        r"^Trying to load resource (?P<resource>\S+) for core (?P<core>\S+) "
+        r"by querying from local node with CL (?P<cl>\S+)$",
+        event_product="solr", event_category="solr", event_type="resource_load",
+    ),
+    Rule(
+        989, "SolrCoreResourceManager", "solr",
+        r"^Successfully loaded resource (?P<resource>\S+) for core "
+        r"(?P<core>\S+)$",
+        event_product="solr", event_category="solr", event_type="resource_loaded",
+    ),
 ]
 
 FAMILIES: list[str] = sorted({r.family for r in RULES} | {UNKNOWN_FAMILY})
