@@ -1826,6 +1826,50 @@ RULES: list[Rule] = [
         r"(?P<core>\S+)$",
         event_product="solr", event_category="solr", event_type="resource_loaded",
     ),
+    # --- batch 8: StatusLogger 2-col row / 1.2 flush / Solr startup ----------
+    Rule(
+        990, "StatusLogger", "status",
+        # the CompactionManager section row has only (active, pending)
+        r"^CompactionManager\s{2,}(?P<active>\d+|n/a)\s+(?P<pending>\d+)$",
+        converters={"pending": "int"},
+        event_category="status", event_type="pool",
+    ),
+    Rule(
+        991, "Memtable", "flush",
+        # 1.2 format: no trailing "for commitlog position ..." clause
+        r"^Completed flushing (?P<filename>\S+) \((?P<file_size>\d+) bytes\)$",
+        converters={"file_size": "int"},
+        promote={"file_size": "bytes_out"},
+        event_category="flush", event_type="end",
+    ),
+    Rule(
+        992, "SolrResourceLoader", "solr",
+        r"^new SolrResourceLoader for directory: '(?P<directory>[^']*)'$",
+        event_product="solr", event_category="solr", event_type="loader_new",
+    ),
+    Rule(
+        993, "SolrResourceLoader", "solr",
+        r"^JNDI not configured for solr \(NoInitialContextEx\)$",
+        event_product="solr", event_category="solr", event_type="jndi_absent",
+    ),
+    Rule(
+        994, "SolrResourceLoader", "solr",
+        r"^solr home defaulted to '(?P<solr_home>[^']*)' \(could not find "
+        r"system property or JNDI\)$",
+        event_product="solr", event_category="solr", event_type="home_defaulted",
+    ),
+    Rule(
+        995, "RequestHandlers", "solr",
+        r"^created (?P<handler_name>\S+): (?P<handler_class>\S+)$",
+        event_product="solr", event_category="solr", event_type="handler_created",
+    ),
+    Rule(
+        996, "SolrCore", "solr",
+        # variant of rule 310 with an explicit dataDir clause
+        r"^\[(?P<core>\S+)\] Opening new SolrCore at (?P<path>[^,]+), "
+        r"dataDir=(?P<data_dir>\S+)$",
+        event_product="solr", event_category="solr", event_type="core_open",
+    ),
 ]
 
 FAMILIES: list[str] = sorted({r.family for r in RULES} | {UNKNOWN_FAMILY})
