@@ -714,6 +714,58 @@ def q_approx_distinct(spark, sf):
     )
 
 
+def q_streaming_event_counts(spark, sf):
+    """Structured Streaming with an EXACT oracle: a bounded availableNow
+    run over the sf `events` parquet via the file stream source,
+    watermarked 1-hour tumbling-window counts into a memory sink.
+    Draining a bounded input under complete output mode makes the final
+    table equal the batch aggregate, so plain DuckDB date_trunc SQL
+    value-checks the streaming path (unlike q_streaming_counts, whose
+    corpus lives in a temp dir DuckDB cannot see)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    batch = _t(spark, sf, "events")
+    # the sf tables are single parquet FILES; the file stream source wants a
+    # directory, so stream the sf dir filtered down to the events file
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    counts = (
+        # parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP, and the
+        # UTC session tz makes the cast identity on the wall-clock value
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("events"),
+             F.sum(_x100("value")).alias("value_x100"))
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+            "event_type", "events", "value_x100",
+        )
+    )
+    name = f"q_streaming_event_counts_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="lp_stream_ec_")
+    try:
+        q = (
+            counts.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).orderBy("window_start_us", "event_type").localCheckpoint()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    for v in spark.catalog.listTables():
+        if v.name.startswith("q_streaming_event_counts_"):
+            spark.catalog.dropTempView(v.name)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -761,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": q_multimodal_features,
         "q_udtf_sentences": q_udtf_sentences,
         "q_streaming_counts": q_streaming_counts,
+        "q_streaming_event_counts": q_streaming_event_counts,
         "q_approx_distinct": q_approx_distinct,
         "q_probe_dec38_2": q_probe_dec38_2,
         "q_probe_dec38_4": q_probe_dec38_4,
@@ -1044,6 +1097,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS events,
                    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS session_value_x100
             FROM s GROUP BY user_id, sid
+        """,
+        "q_streaming_event_counts": """
+            SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+                   event_type,
+                   count(*) AS events,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_x100
+            FROM events
+            GROUP BY 1, 2
         """,
         "q_asof_join": """
             WITH purchases AS (
