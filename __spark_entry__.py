@@ -468,6 +468,18 @@ def q_dedup_minhash_capped(spark, sf):
                                 threshold=0.8, max_bucket=1000)
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup CLUSTERING: the minhash edge list (ground-truth mode,
+    same banding as q_dedup_minhash) -> iterative min-label connected
+    components -> every document mapped to its cluster's canonical
+    (min) doc id; singletons map to themselves.  keep-one-per-cluster
+    is the standard training-data dedup policy, and DuckDB replicates
+    the whole thing with a recursive CTE over the quadratic pair SQL."""
+    docs = _t(spark, sf, "documents")
+    return dd.dedup_clusters(docs, num_hashes=84, bands=28, shingle_n=3,
+                             threshold=0.8)
+
+
 def q_dedup_simhash(spark, sf):
     """60-bit md5-based SimHash (pure SQL) with pigeonhole banding +
     exact hamming verify — DuckDB replicates the hash bit-for-bit."""
@@ -798,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_minhash_capped": q_dedup_minhash_capped,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_dedup_simhash": q_dedup_simhash,
         "q_embed_neardup": q_embed_neardup,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
@@ -1157,6 +1170,31 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh)) * 1.0
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        """,
+        # connected components via recursive CTE: min reachable doc_id
+        # over the same quadratic near-dup graph (undirected)
+        "q_dedup_clusters": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(w) - 2, 1)),
+                           i -> array_to_string(w[i:i+2], ' '))) AS sh
+                FROM d
+            ), e AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM s a JOIN s b ON a.doc_id <> b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+            ), walk(id, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.id
+            )
+            SELECT id AS doc_id, min(label) AS canonical_id
+            FROM walk GROUP BY id
         """,
         # identical 60-bit md5 simhash on both engines (first 15 hex
         # chars of md5 -> BIGINT), then exact hamming <= 3

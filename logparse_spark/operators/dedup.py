@@ -342,6 +342,93 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# dedup clustering: connected components over a near-dup edge list
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected edge list -> (id, component)
+    where `component` is the MIN node id reachable from `id`.
+
+    Iterative min-label propagation: every node starts labelled with
+    itself; each round a node takes the min of its own label and its
+    neighbours' labels; stop when no label changes.  Rounds needed =
+    graph diameter, and near-dup graphs are unions of small dense
+    clusters (diameter 1-3 after LSH + verify), so this converges in a
+    handful of rounds; `max_iter` is a guard against pathological chain
+    graphs (for those, an alternating large-star/small-star scheme is
+    the O(log n)-round upgrade — same per-round join shape).
+
+    Scale notes: each round is one shuffle join (labels x edges) + one
+    groupBy min — both keyed by node id, so AQE coalesces and the edge
+    list never grows.  `localCheckpoint` cuts the lineage per round
+    (an iterative plan otherwise doubles every iteration); convergence
+    is detected with a cheap `where(changed).isEmpty()` probe, not a
+    full count.
+    """
+    # canonical undirected adjacency, one row per direction
+    fwd = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    adj = fwd.unionByName(rev).distinct().localCheckpoint()
+
+    labels = (
+        adj.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            adj.join(labels, adj["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("component").alias("neigh_component"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neigh_component"), F.col("component")),
+                ).alias("component"),
+                (F.col("neigh_component") < F.col("component")).alias("changed"),
+            )
+        ).localCheckpoint()
+        converged = new_labels.where(F.col("changed")).isEmpty()
+        labels = new_labels.drop("changed")
+        if converged:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Near-dup clusters with a canonical representative per doc:
+    minhash_near_dups edges -> connected components -> every document
+    mapped to the min doc id of its cluster (singletons map to
+    themselves).  `keep = (doc_id == canonical_id)` is the standard
+    keep-one-per-cluster training-data dedup policy."""
+    edges = minhash_near_dups(df, text_col, id_col, **minhash_kwargs)
+    comp = connected_components(edges)
+    base = df.select(F.col(id_col))
+    return (
+        base.join(comp, base[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (vectorized pandas UDF for the 64 bit-counters)
 # ---------------------------------------------------------------------------
 

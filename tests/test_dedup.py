@@ -143,3 +143,64 @@ def test_embedding_near_dups(spark):
              dd.embedding_near_dups(df, dim=4, n_planes=6, min_cosine=0.95).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (3, 4) not in pairs
+
+
+# --- connected components / dedup clusters ---------------------------------
+
+
+def _uf_components(n_nodes, edges):
+    """Pure-Python union-find oracle: node -> min id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)})
+    got = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(
+            spark.createDataFrame(edges, "id_a int, id_b int")
+        ).collect()
+    }
+    want = _uf_components(n, edges)
+    touched = {a for e in edges for a in e}
+    assert got == {x: want[x] for x in touched}
+
+
+def test_connected_components_chain_converges(spark):
+    # worst case for label propagation: one long chain (diameter = n-1)
+    n = 12
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(
+            spark.createDataFrame(edges, "id_a int, id_b int")
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_canonical(spark):
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dd.dedup_clusters(
+            _docs(spark), num_hashes=63, bands=21, shingle_n=1, threshold=0.8
+        ).collect()
+    }
+    # d1/d2/d3 cluster together (exact + near dup); d4/d5 are singletons
+    assert out == {"d1": "d1", "d2": "d1", "d3": "d1", "d4": "d4", "d5": "d5"}
