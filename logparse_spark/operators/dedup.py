@@ -401,8 +401,13 @@ def connected_components(
         converged = new_labels.where(F.col("changed")).isEmpty()
         labels = new_labels.drop("changed")
         if converged:
-            break
-    return labels
+            return labels
+    # no silent caps: partially-propagated labels are WRONG labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the graph has a component with diameter > max_iter (raise "
+        "max_iter, or switch to large-star/small-star for chain-like graphs)"
+    )
 
 
 def dedup_clusters(

@@ -204,3 +204,13 @@ def test_dedup_clusters_canonical(spark):
     }
     # d1/d2/d3 cluster together (exact + near dup); d4/d5 are singletons
     assert out == {"d1": "d1", "d2": "d1", "d3": "d1", "d4": "d4", "d5": "d5"}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    edges = [(i, i + 1) for i in range(9)]  # diameter 9 > max_iter 3
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(
+            spark.createDataFrame(edges, "id_a int, id_b int"), max_iter=3
+        ).collect()
