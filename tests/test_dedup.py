@@ -214,3 +214,17 @@ def test_connected_components_nonconvergence_raises(spark):
         dd.connected_components(
             spark.createDataFrame(edges, "id_a int, id_b int"), max_iter=3
         ).collect()
+
+
+def test_connected_components_log_rounds_on_long_chain(spark):
+    # pointer-doubling pins O(log diameter): a 100-node chain converges
+    # well within 12 rounds (plain neighbor propagation would need 99)
+    n = 100
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(
+            spark.createDataFrame(edges, "id_a int, id_b int"), max_iter=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
