@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q_range_join",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_clusters",
     "q_dedup_simhash",
     "q_embed_neardup",
     "q_sim_topk",
