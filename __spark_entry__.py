@@ -674,9 +674,9 @@ def q_streaming_counts(spark, sf):
         out = spark.table(name).orderBy("family", "start").localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    for v in spark.catalog.listTables():
-        if v.name.startswith("q_streaming_counts_"):
-            spark.catalog.dropTempView(v.name)
+        for v in spark.catalog.listTables():
+            if v.name.startswith("q_streaming_counts_"):
+                spark.catalog.dropTempView(v.name)
     return out
 
 
@@ -772,9 +772,9 @@ def q_streaming_event_counts(spark, sf):
         out = spark.table(name).orderBy("window_start_us", "event_type").localCheckpoint()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    for v in spark.catalog.listTables():
-        if v.name.startswith("q_streaming_event_counts_"):
-            spark.catalog.dropTempView(v.name)
+        for v in spark.catalog.listTables():
+            if v.name.startswith("q_streaming_event_counts_"):
+                spark.catalog.dropTempView(v.name)
     return out
 
 
@@ -947,6 +947,22 @@ def _gc_running_oracle() -> str:
         )
         WINDOW w AS (PARTITION BY source ORDER BY ts, doc_id)
     """
+
+
+# shared between the q_dedup_minhash and q_dedup_clusters oracles so the
+# shingle definition and Jaccard predicate cannot drift apart
+_MINHASH_SHINGLE_CTES = """d AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(w) - 2, 1)),
+                           i -> array_to_string(w[i:i+2], ' '))) AS sh
+                FROM d
+            )"""
+_MINHASH_JACCARD_PRED = """len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1155,39 +1171,19 @@ def oracle_sql() -> dict[str, str]:
         # Shingle construction mirrors dedup.word_shingles(n=3) exactly:
         # unfiltered \\s+ split of lower(trim(text)), distinct 3-gram
         # joins, one partial gram for docs shorter than 3 words.
-        "q_dedup_minhash": """
-            WITH d AS (
-                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-                FROM documents
-            ), s AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           generate_series(1, greatest(len(w) - 2, 1)),
-                           i -> array_to_string(w[i:i+2], ' '))) AS sh
-                FROM d
-            )
+        "q_dedup_minhash": f"""
+            WITH {_MINHASH_SHINGLE_CTES}
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+            WHERE {_MINHASH_JACCARD_PRED}
         """,
         # connected components via recursive CTE: min reachable doc_id
         # over the same quadratic near-dup graph (undirected)
-        "q_dedup_clusters": """
-            WITH RECURSIVE d AS (
-                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-                FROM documents
-            ), s AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           generate_series(1, greatest(len(w) - 2, 1)),
-                           i -> array_to_string(w[i:i+2], ' '))) AS sh
-                FROM d
-            ), e AS (
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE {_MINHASH_SHINGLE_CTES}, e AS (
                 SELECT a.doc_id AS src, b.doc_id AS dst
                 FROM s a JOIN s b ON a.doc_id <> b.doc_id
-                WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+                WHERE {_MINHASH_JACCARD_PRED}
             ), walk(id, label) AS (
                 SELECT doc_id, doc_id FROM documents
                 UNION

@@ -373,7 +373,11 @@ def connected_components(
     neighbourhood in one task.  `localCheckpoint` cuts the lineage per
     round (an iterative plan otherwise doubles every iteration);
     convergence is detected with a cheap `where(changed).isEmpty()`
-    probe, not a full count.
+    probe, not a full count.  Superseded rounds' checkpoint blocks
+    become unreferenced as `labels` is rebound and are reclaimed
+    asynchronously by Spark's ContextCleaner; they are MEMORY_AND_DISK,
+    so at worst O(log diameter) small (id, component) tables spill to
+    disk before cleanup — never an OOM source.
     """
     # canonical undirected adjacency, one row per direction
     fwd = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -442,13 +446,17 @@ def dedup_clusters(
     themselves).  `keep = (doc_id == canonical_id)` is the standard
     keep-one-per-cluster training-data dedup policy."""
     edges = minhash_near_dups(df, text_col, id_col, **minhash_kwargs)
-    comp = connected_components(edges)
+    # prefix the component columns so an id_col named 'id' or 'component'
+    # can't collide with connected_components' output schema
+    comp = connected_components(edges).select(
+        F.col("id").alias("_cc_id"), F.col("component").alias("_cc_component")
+    )
     base = df.select(F.col(id_col))
     return (
-        base.join(comp, base[id_col] == comp["id"], "left")
+        base.join(comp, base[id_col] == comp["_cc_id"], "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+            F.coalesce(F.col("_cc_component"), F.col(id_col)).alias("canonical_id"),
         )
     )
 

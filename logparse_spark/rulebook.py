@@ -1829,9 +1829,13 @@ RULES: list[Rule] = [
     # --- batch 8: StatusLogger 2-col row / 1.2 flush / Solr startup ----------
     Rule(
         990, "StatusLogger", "status",
-        # the CompactionManager section row has only (active, pending)
-        r"^CompactionManager\s{2,}(?P<active>\d+|n/a)\s+(?P<pending>\d+)$",
-        converters={"pending": "int"},
+        # the CompactionManager section row has only (active, pending);
+        # the n/a-active variant is rule 997 — the rulebook forbids
+        # optional capture groups (engine mask + DuckDB replica assume
+        # every group captures on match), and keeping 'n/a' out of the
+        # capture keeps `active` int-typed across the status typed view
+        r"^CompactionManager\s{2,}(?P<active>\d+)\s+(?P<pending>\d+)$",
+        converters={"active": "int", "pending": "int"},
         event_category="status", event_type="pool",
     ),
     Rule(
@@ -1869,6 +1873,13 @@ RULES: list[Rule] = [
         r"^\[(?P<core>\S+)\] Opening new SolrCore at (?P<path>[^,]+), "
         r"dataDir=(?P<data_dir>\S+)$",
         event_product="solr", event_category="solr", event_type="core_open",
+    ),
+    Rule(
+        997, "StatusLogger", "status",
+        # n/a-active twin of rule 990 (see there)
+        r"^CompactionManager\s{2,}n/a\s+(?P<pending>\d+)$",
+        converters={"pending": "int"},
+        event_category="status", event_type="pool",
     ),
 ]
 
