@@ -203,6 +203,23 @@ def _templates():
             f"({r.randint(100, 10**9)} bytes)")),
         (0.002, "StorageService", "RMI TCP Connection(3)-127.0.0.1", None, lambda r: (
             "LEAVING: sleeping 30000 ms for batch processing and pending range setup")),
+        # --- batch 7/8 rule families exercised E2E --------------------------
+        (0.002, "Mx4jTool", "main", None, lambda r: (
+            "Will not load MX4J, mx4j-tools.jar is not in the classpath")),
+        (0.002, "StorageService", "main", None, lambda r: (
+            f"Generated random tokens. tokens are [{', '.join(str(r.randint(-2**63, 2**63 - 1)) for _ in range(3))}]")),
+        (0.002, "CompactionStrategyManager", "CompactionExecutor:3", None, lambda r: (
+            f"Recreating compaction strategy - disk boundaries are out of date "
+            f"for {r.choice(_KEYSPACES)}.{r.choice(_TABLES)}.")),
+        (0.002, "SolrCoreResourceManager", "coreLoadExecutor-5-thread-1", None, lambda r: (
+            f"Trying to load resource schema.xml for core "
+            f"{r.choice(_KEYSPACES)}.{r.choice(_TABLES)} by querying from "
+            f"local node with CL {r.choice(['QUORUM', 'ONE'])}")),
+        (0.002, "Memtable", "FlushWriter:2", None, lambda r: (
+            f"Completed flushing {_sstable(r)}-Data.db ({r.randint(10**3, 10**8)} bytes)")),
+        (0.002, "RequestHandlers", "coreLoadExecutor-5-thread-1", None, lambda r: (
+            f"created {r.choice(['/select', '/update', '/admin/luke'])}: "
+            f"solr.{r.choice(['SearchHandler', 'UpdateRequestHandler'])}")),
     ]
 
 
