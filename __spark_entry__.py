@@ -89,10 +89,8 @@ DEC = "decimal(18,2)"
 # then summed as BIGINT — exact, order-independent, and the decimal cast
 # is the SAME both-engines-identical rounding step round 2 already
 # verified.  DuckDB sums are CAST back from HUGEINT to BIGINT.
-# q_probe_* queries isolate which physical types the driver's hash
-# accepts (decimal 38,2 / 38,4 / 18,2, timestamp, date) on one-row
-# constant outputs.
-DEC38 = "decimal(38,2)"
+# (Round-3 one-row type probes confirmed the sensitivity lives in the
+# decimal(38,x) physical type; BIGINT / string / int64-epoch are green.)
 
 
 def _x100(col) -> Column:
@@ -147,10 +145,13 @@ def q_shuffle_join(spark, sf):
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("line_count"),
+            # integer-cents x10k product (cents * (100 - discount_cents)),
+            # same exact-arithmetic pattern as q_pricing_summary: no real
+            # query carries the decimal(38,4) type q_probe_dec38_4 proved
+            # hash-fragile (VERDICT r3 #2).
             F.sum(
-                F.col("l_extendedprice").cast(DEC)
-                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
-            ).alias("revenue"),
+                _x100("l_extendedprice") * (F.lit(100) - _x100("l_discount"))
+            ).alias("revenue_x10k"),
         )
     )
 
@@ -680,42 +681,13 @@ def q_streaming_counts(spark, sf):
     return out
 
 
-# --- type probes: one-row constant outputs that localize which physical
-# result types the driver's value hash accepts.  Locally (tools/parity.py
-# strict mode) values AND raw Arrow schemas are bit-identical for all of
-# these; any probe the driver still hash-fails pinpoints the sensitive
-# type (VERDICT r2 prescription).
-
-
-def q_probe_dec38_2(spark, sf):
-    return spark.range(1).select(
-        F.lit("p").alias("k"), F.lit("1.25").cast("decimal(38,2)").alias("v_dec38_2")
-    )
-
-
-def q_probe_dec38_4(spark, sf):
-    return spark.range(1).select(
-        F.lit("p").alias("k"), F.lit("1.2500").cast("decimal(38,4)").alias("v_dec38_4")
-    )
-
-
-def q_probe_dec18_2(spark, sf):
-    return spark.range(1).select(
-        F.lit("p").alias("k"), F.lit("1.25").cast("decimal(18,2)").alias("v_dec18_2")
-    )
-
-
-def q_probe_timestamp(spark, sf):
-    return spark.range(1).select(
-        F.lit("p").alias("k"),
-        F.lit("2024-01-02 03:04:05.123456").cast("timestamp_ntz").alias("v_ts"),
-    )
-
-
-def q_probe_date(spark, sf):
-    return spark.range(1).select(
-        F.lit("p").alias("k"), F.lit("2024-01-02").cast("date").alias("v_date")
-    )
+# The round-3 q_probe_* type probes (dec38_2/dec38_4/dec18_2/timestamp/
+# date) are retired: they localized the driver hash's sensitivity to the
+# decimal(38,4) physical type and the driver caps its checks at 50
+# queries, so keeping them silently pushed real queries off the end of
+# the list (VERDICT r3 #2).  The finding they produced is codified above:
+# money/value aggregates are integer-scaled BIGINT, datetimes leave as
+# strings or epoch-micros BIGINT.
 
 
 def q_approx_distinct(spark, sf):
@@ -828,11 +800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_counts": q_streaming_counts,
         "q_streaming_event_counts": q_streaming_event_counts,
         "q_approx_distinct": q_approx_distinct,
-        "q_probe_dec38_2": q_probe_dec38_2,
-        "q_probe_dec38_4": q_probe_dec38_4,
-        "q_probe_dec18_2": q_probe_dec18_2,
-        "q_probe_timestamp": q_probe_timestamp,
-        "q_probe_date": q_probe_date,
     }
 
 
@@ -991,8 +958,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_shuffle_join": """
             SELECT o_orderpriority, count(*) AS line_count,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_x10k
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
         """,
@@ -1291,13 +1258,6 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
         """),
         "q_pipeline_gc_running": _gc_running_oracle(),
-        "q_probe_dec38_2": "SELECT 'p' AS k, CAST('1.25' AS DECIMAL(38,2)) AS v_dec38_2",
-        "q_probe_dec38_4": "SELECT 'p' AS k, CAST('1.2500' AS DECIMAL(38,4)) AS v_dec38_4",
-        "q_probe_dec18_2": "SELECT 'p' AS k, CAST('1.25' AS DECIMAL(18,2)) AS v_dec18_2",
-        "q_probe_timestamp": (
-            "SELECT 'p' AS k, TIMESTAMP '2024-01-02 03:04:05.123456' AS v_ts"
-        ),
-        "q_probe_date": "SELECT 'p' AS k, DATE '2024-01-02' AS v_date",
         # rows-only (legitimately non-SQL-checkable):
         # q_multimodal_features (decode stub is env-limited),
         # q_streaming_counts (streaming state), q_approx_distinct (approx)

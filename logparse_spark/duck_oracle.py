@@ -101,14 +101,17 @@ def materialize_corpus(n: int = 5000, seed: int = 42) -> str:
 
     from logparse_spark.sources.datagen import make_event
 
-    # cache key includes a content fingerprint so a datagen change can
-    # never leave a stale corpus parquet behind the SQL oracle's back
-    probe = b"|".join(bytes(make_event(i, seed)[1]) for i in range(0, min(n, 500), 7))
-    fp = f"{zlib.crc32(probe):08x}"
+    # cache key fingerprints EVERY row (generation is pure Python and
+    # cheap) so a datagen change — however localized — can never leave a
+    # stale corpus parquet behind the SQL oracle's back
+    rows = [make_event(i, seed) for i in range(n)]
+    fp_crc = 0
+    for r in rows:
+        fp_crc = zlib.crc32(bytes(r[1]), fp_crc)
+    fp = f"{fp_crc:08x}"
     path = os.path.join(CORPUS_DIR, f"oracle_corpus_{n}_{seed}_{fp}.parquet")
     if os.path.exists(path):
         return path
-    rows = [make_event(i, seed) for i in range(n)]
     tbl = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], type=pa.string()),

@@ -278,16 +278,24 @@ def parse_batch_arrow(batch: pa.RecordBatch, compiled: dict, schema: pa.Schema) 
 def parse_sequences(df: DataFrame, rules=None) -> DataFrame:
     """sequences(doc_id, tokens, n_tok, source) -> parsed events DataFrame.
 
-    The compiled rule table travels in the task closure (it is tiny); at
-    a few hundred rules it would move to ``sparkContext.broadcast``.
+    The compiled rule table ships via ``sparkContext.broadcast`` — one
+    serialized copy per executor, not per task.  At 274+ rules with
+    compiled regexes the per-task closure cost is O(tasks x rulebook)
+    and the broadcast is O(executors); on a 1000-executor cluster with
+    100k tasks per stage that is the difference between shipping the
+    rulebook 100k times and 1000 times.  (compile_rulebook emits plain
+    dicts of strings — regexes recompile worker-side behind the module
+    _PATTERN_CACHE — so the broadcast value round-trips cleanly.)
     """
     compiled = compile_rulebook(rules)
     tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     out_schema = _arrow_output_schema(tz)
+    bc = df.sparkSession.sparkContext.broadcast(compiled)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        rb = bc.value
         for batch in batches:
             if batch.num_rows:
-                yield parse_batch_arrow(batch, compiled, out_schema)
+                yield parse_batch_arrow(batch, rb, out_schema)
 
     return df.mapInArrow(fn, schema=PARSED_SCHEMA)

@@ -36,10 +36,16 @@ def asof_join_union(
     out_col = out_col or f"asof_{right_val}"
     rv_type = right.schema[right_val].dataType
     payload = [f.name for f in left.schema.fields if f.name not in (key, ts)]
+    reserved = {"_pl", "_side", "_rv"} & {f.name for f in left.schema.fields}
+    if reserved:
+        raise ValueError(f"left columns collide with internals: {sorted(reserved)}")
     l_tag = left.select(
         F.col(key), F.col(ts), F.lit(1).alias("_side"),
         F.lit(None).cast(rv_type).alias("_rv"),
-        *([F.struct(*payload).alias("_pl")] if payload else []),
+        # left[name] resolves the attribute exactly (dot-safe), unlike a
+        # bare string which F.struct would parse as a nested path
+        *([F.struct(*[left[c].alias(c) for c in payload]).alias("_pl")]
+          if payload else []),
     )
     r_tag = right.select(
         F.col(key), F.col(ts),
@@ -55,10 +61,13 @@ def asof_join_union(
     )
     carried = merged.withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
     kept = carried.where(F.col("_side") == 1)
-    # restore the left column order, unpacking the payload struct
+    # restore the left column order, unpacking the payload struct via
+    # getField (NOT a "_pl.name" string path, which would parse dotted
+    # column names as nested access)
     return kept.select(
         *[
-            F.col(f.name) if f.name in (key, ts) else F.col(f"_pl.{f.name}").alias(f.name)
+            F.col(f.name) if f.name in (key, ts)
+            else F.col("_pl").getField(f.name).alias(f.name)
             for f in left.schema.fields
         ],
         F.col(out_col),

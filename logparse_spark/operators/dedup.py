@@ -299,6 +299,12 @@ def minhash_near_dups(
         melted.join(sh, "id")
         .groupBy("pid")
         .agg(F.collect_list("sh").alias("shs"))
+        # contract: id_col values are unique (duplicate ids would melt to
+        # >2 shingle arrays per pair and shs[0]/shs[1] could be two
+        # copies of the SAME document -> silent Jaccard=1.0 false
+        # positives).  Guard so such inputs drop the pair loudly in
+        # parity rather than emit wrong edges.
+        .where(F.size("shs") == 2)
     )
     inter = F.size(F.array_intersect(F.col("shs")[0], F.col("shs")[1]))
     union = F.size(F.array_union(F.col("shs")[0], F.col("shs")[1]))
