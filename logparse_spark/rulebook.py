@@ -1881,6 +1881,167 @@ RULES: list[Rule] = [
         converters={"pending": "int"},
         event_category="status", event_type="pool",
     ),
+    # --- batch 9: version-variant tail (SURVEY.md §2.1 O9; the 3.x class
+    # renames CLibrary->NativeLibrary, Server->NativeTransportService,
+    # YamlConfigurationLoader->Config, CommitLogAllocator->
+    # CommitLogSegmentManager, plus well-attested 1.2-3.x startup/ops
+    # lines and public Solr 4.x core-lifecycle lines) --------------------------
+    Rule(
+        1000, "CassandraDaemon", "startup",
+        r"^Not starting RPC server as requested\. Use JMX "
+        r"\(StorageService->startRPCServer\(\)\) or nodetool \(enablethrift\) "
+        r"to start it$",
+        event_category="startup", event_type="rpc_disabled",
+    ),
+    Rule(
+        1001, "CassandraDaemon", "startup",
+        r"^Not starting native transport as requested\. Use JMX "
+        r"\(StorageService->startNativeTransport\(\)\) or nodetool "
+        r"\(enablebinary\) to start it$",
+        event_category="startup", event_type="native_disabled",
+    ),
+    Rule(
+        1002, "CassandraDaemon", "startup",
+        r"^Scheduling approximate time-check task with a precision of "
+        r"(?P<precision_ms>\d+) milliseconds$",
+        converters={"precision_ms": "int"},
+        event_category="startup", event_type="time_check_task",
+    ),
+    Rule(
+        1003, "CassandraDaemon", "cache",
+        # 1.2/2.0 key-cache preload completion (lowercase in the source)
+        r"^completed pre-loading \((?P<keys>\d+) keys\) key cache\.$",
+        converters={"keys": "int"},
+        event_category="cache", event_type="preload",
+    ),
+    Rule(
+        1004, "CLibrary", "startup",
+        r"^JNA not found\. Native methods will be disabled\.$",
+        event_category="startup", event_type="jna_absent",
+    ),
+    Rule(
+        1005, "CLibrary", "startup",
+        r"^JNA link failure, one or more native method will be unavailable\.$",
+        event_category="startup", event_type="jna_link_failure",
+    ),
+    Rule(
+        1006, "NativeLibrary", "startup",
+        # 2.2+ class name for rule 1004's line
+        r"^JNA not found\. Native methods will be disabled\.$",
+        event_category="startup", event_type="jna_absent",
+    ),
+    Rule(
+        1007, "NativeTransportService", "cql",
+        # 3.x: the Netty lines moved from Server to NativeTransportService
+        r"^Netty using (?P<event_loop>native Epoll event loop|Java NIO event loop)$",
+        event_category="cql", event_type="netty_event_loop",
+    ),
+    Rule(
+        1008, "NativeTransportService", "cql",
+        r"^Using Netty Version: \[(?P<netty_version>[^\]]*)\]$",
+        event_category="cql", event_type="netty_version",
+    ),
+    Rule(
+        1009, "Config", "startup",
+        # 3.x: the yaml dump moved from YamlConfigurationLoader to Config
+        r"^Node configuration:\[(?P<config>.*)\]$",
+        event_category="startup", event_type="configuration",
+    ),
+    Rule(
+        1010, "StartupChecks", "startup",
+        r"^jemalloc seems to be preloaded from (?P<path>\S+)$",
+        event_category="startup", event_type="jemalloc_preloaded",
+    ),
+    Rule(
+        1011, "StartupChecks", "startup",
+        r"^Cassandra 3\.0 and later require Java 8u40 or later\.$",
+        event_category="startup", event_type="jvm_too_old",
+    ),
+    Rule(
+        1012, "StorageService", "gossip",
+        r"^Starting shadow gossip round to check for endpoint collision$",
+        event_category="gossip", event_type="shadow_round",
+    ),
+    Rule(
+        1013, "TokenMetadata", "gossip",
+        # bulk twin of rule 808's per-endpoint topology update
+        r"^Updating topology for all endpoints that have changed$",
+        event_category="gossip", event_type="topology_update",
+    ),
+    Rule(
+        1014, "QueryProcessor", "cql",
+        r"^Initialized prepared statement caches with (?P<native_mb>\d+) MB "
+        r"\(native\) and (?P<thrift_mb>\d+) MB \(Thrift\)$",
+        converters={"native_mb": "int", "thrift_mb": "int"},
+        event_category="cql", event_type="prepared_cache_init",
+    ),
+    Rule(
+        1015, "ColumnFamilyStore", "sstable",
+        # the no-op outcome of rule 811's `nodetool refresh` flow
+        r"^No new SSTables were found for (?P<keyspace>\S+)/(?P<table>\S+)$",
+        event_category="sstable", event_type="refresh_empty",
+    ),
+    Rule(
+        1016, "MessagingService", "drops",
+        # 3.0 short form: rule 31's line without the 3.11 latency tail
+        r"^(?P<message_type>\w+) messages were dropped in last "
+        r"(?P<window_ms>\d+) ms: (?P<internal>\d+) internal and "
+        r"(?P<cross_node>\d+) cross node$",
+        converters={k: "int" for k in ("window_ms", "internal", "cross_node")},
+        promote={"internal": "count"},
+        event_category="messaging", event_type="drops",
+    ),
+    Rule(
+        1017, "Ec2Snitch", "startup",
+        r"^EC2Snitch using region: (?P<region>\S+), zone: (?P<zone>\S+)\.$",
+        event_category="startup", event_type="snitch",
+    ),
+    Rule(
+        1018, "CassandraDaemon", "startup",
+        # 3.x emits rule 928's JMX notice from CassandraDaemon
+        r"^JMX is not enabled to receive remote connections\. Please see "
+        r"cassandra-env\.sh for more info\.$",
+        event_category="startup", event_type="jmx_local_only",
+    ),
+    Rule(
+        1019, "CommitLogSegmentManager", "commitlog",
+        # 2.1+ class name for rule 943's line
+        r"^No segments in reserve; creating a fresh one$",
+        event_category="commitlog", event_type="new_segment",
+    ),
+    Rule(
+        1020, "DatabaseDescriptor", "startup",
+        r"^Back-pressure is (?P<state>enabled|disabled) with strategy "
+        r"(?P<strategy>.*)\.$",
+        event_category="startup", event_type="back_pressure",
+    ),
+    Rule(
+        1021, "SolrDeletionPolicy", "solr",
+        r"^SolrDeletionPolicy\.onInit: commits: num=(?P<num>\d+)$",
+        converters={"num": "int"},
+        event_product="solr", event_category="solr", event_type="deletion_policy_init",
+    ),
+    Rule(
+        1022, "SolrDeletionPolicy", "solr",
+        r"^newest commit generation = (?P<generation>\d+)$",
+        converters={"generation": "int"},
+        event_product="solr", event_category="solr", event_type="commit_generation",
+    ),
+    Rule(
+        1023, "IndexSchema", "solr",
+        r"^default search field in schema is (?P<search_field>\S+)$",
+        event_product="solr", event_category="solr", event_type="default_search_field",
+    ),
+    Rule(
+        1024, "IndexSchema", "solr",
+        r"^unique key field: (?P<unique_key>\S+)$",
+        event_product="solr", event_category="solr", event_type="unique_key",
+    ),
+    Rule(
+        1025, "UpdateHandler", "solr",
+        r"^No uncommitted changes\. Skipping IW\.commit\.$",
+        event_product="solr", event_category="solr", event_type="commit_skipped",
+    ),
 ]
 
 FAMILIES: list[str] = sorted({r.family for r in RULES} | {UNKNOWN_FAMILY})

@@ -220,6 +220,26 @@ def _templates():
         (0.002, "RequestHandlers", "coreLoadExecutor-5-thread-1", None, lambda r: (
             f"created {r.choice(['/select', '/update', '/admin/luke'])}: "
             f"solr.{r.choice(['SearchHandler', 'UpdateRequestHandler'])}")),
+        # --- batch 9 rule families exercised E2E --------------------------
+        (0.002, "CassandraDaemon", "main", None, lambda r: (
+            f"Scheduling approximate time-check task with a precision of "
+            f"{r.choice([10, 2])} milliseconds")),
+        (0.002, "CassandraDaemon", "main", None, lambda r: (
+            f"completed pre-loading ({r.randint(1, 10**5)} keys) key cache.")),
+        (0.002, "NativeTransportService", "main", None, lambda r: (
+            f"Netty using {r.choice(['native Epoll event loop', 'Java NIO event loop'])}")),
+        (0.002, "MessagingService", "ScheduledTasks:1", "INFO", lambda r: (
+            f"{r.choice(_MSG_TYPES)} messages were dropped in last 5000 ms: "
+            f"{r.randint(0, 99)} internal and {r.randint(0, 99)} cross node")),
+        (0.002, "QueryProcessor", "main", None, lambda r: (
+            f"Initialized prepared statement caches with {r.randint(8, 64)} MB "
+            f"(native) and {r.randint(8, 64)} MB (Thrift)")),
+        (0.002, "StorageService", "main", None, lambda r: (
+            "Starting shadow gossip round to check for endpoint collision")),
+        (0.002, "SolrDeletionPolicy", "coreLoadExecutor-5-thread-1", None, lambda r: (
+            f"SolrDeletionPolicy.onInit: commits: num={r.randint(1, 9)}")),
+        (0.002, "IndexSchema", "coreLoadExecutor-5-thread-1", None, lambda r: (
+            f"unique key field: {r.choice(['id', 'key', 'uuid'])}")),
     ]
 
 
