@@ -304,6 +304,80 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
     }
 
 
+def cluster_bench(workers=(1, 4), cores_per_worker: int = 8, mem_mb: int = 8192,
+                  runs: int = 3, n: int | None = None) -> dict:
+    """The N vs 4N legs with REAL separate executor processes.
+
+    ``local-cluster[w, c, mem]`` starts an in-process standalone
+    master/worker pair that launches w genuine executor JVMs (own heaps,
+    own Python workers, executor-to-executor shuffle fetches over
+    loopback TCP) — the closest sandbox analog to a real cluster, and it
+    exercises the serializer/shuffle-service paths the local[N] proxy
+    skips.  1 worker x 8 cores vs 4 workers x 8 cores is the same
+    4x-resources contrast as the local legs but with the executor
+    process boundary in place.
+    """
+    import sys
+
+    from logparse_spark.session import get_spark
+
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    n = n or pipeline_rows(_sf_of(SF_DIR))
+    s0 = get_spark(app_name="bench-datagen", cores=32)
+    corpus = ensure_corpus(s0, n)
+    s0.stop()
+
+    results = {}
+    probes = []
+    for w in workers:
+        probe = host_probe()
+        probes.append(probe)
+        cores = w * cores_per_worker
+        s = get_spark(
+            app_name=f"bench-cluster-{w}x{cores_per_worker}",
+            cores=cores, shuffle_partitions=cores,
+            extra={
+                "spark.master": f"local-cluster[{w},{cores_per_worker},{mem_mb}]",
+                "spark.executor.memory": f"{mem_mb}m",
+                "spark.driver.memory": "8g",
+                # executors are separate processes: they inherit neither
+                # sys.path nor cwd, so point them at the repo explicitly
+                "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+                "spark.sql.files.maxPartitionBytes": "16m",
+                "spark.task.cpus": "2",
+            },
+        )
+        run_pipeline_once(s, corpus, f"/tmp/lp_cluster_{w}_warm")
+        times, routed = [], 0
+        for i in range(runs):
+            dt, routed = run_pipeline_once(s, corpus, f"/tmp/lp_cluster_{w}_{i}")
+            times.append(dt)
+        s.stop()
+        med, disc = _median_of_clean(times)
+        results[w] = {
+            "median_sec": round(med, 2),
+            "runs_sec": [round(t, 2) for t in times],
+            "discarded_sec": [round(t, 2) for t in disc],
+            "rows_per_sec": round(routed / med, 1),
+            "rows": routed,
+            "executors": w,
+            "cores_total": cores,
+            "host": probe,
+        }
+    ordered = sorted(results)
+    efficiencies = {
+        f"{lo}->{hi}": round(
+            results[hi]["rows_per_sec"] / ((hi / lo) * results[lo]["rows_per_sec"]), 3
+        )
+        for lo in ordered for hi in ordered if hi == 4 * lo
+    }
+    return {
+        "mode": "local-cluster", "legs": results, "efficiencies": efficiencies,
+        "rows": n, "cores_per_worker": cores_per_worker, "mem_mb": mem_mb,
+        "host_clean": all(_probe_clean(p) for p in probes),
+    }
+
+
 def _mode_tables(res: dict) -> str:
     legs = sorted(int(k) for k in res["legs"])
     rows_tbl = "\n".join(
@@ -373,6 +447,9 @@ UTC.  See bench.py::scaling_bench.
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cluster", action="store_true",
+                    help="N vs 4N with real separate executor processes "
+                         "(local-cluster[1,8,m] vs local-cluster[4,8,m])")
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--mode", choices=["disk", "tmpfs", "both"], default="both",
@@ -387,7 +464,14 @@ def main() -> None:
                     help="persist JSON only; BASELINE.md is hand-curated "
                          "from several experiments")
     args = ap.parse_args()
-    if args.scaling:
+    if args.cluster:
+        res = cluster_bench(runs=args.runs, n=args.rows)
+        os.makedirs("BENCH", exist_ok=True)
+        suffix = f"_{args.tag}" if args.tag else ""
+        with open(f"BENCH/scaling_cluster{suffix}.json", "w") as f:
+            json.dump(res, f)
+        print(json.dumps(res))
+    elif args.scaling:
         legs = tuple(int(x) for x in args.legs.split(","))
         modes = ["disk", "tmpfs"] if args.mode == "both" else [args.mode]
         suffix = f"_{args.tag}" if args.tag else ""
