@@ -613,6 +613,32 @@ def q_pipeline_gc_running(spark, sf):
     )
 
 
+def q_pipeline_level_histogram(spark, sf):
+    """Header-level histogram over the parsed corpus: value-checks the
+    capture_line level field (O8) end-to-end against the SQL replica,
+    which extracts level from the same raw line1."""
+    parsed = parse_sequences(generate_sequences(spark, 5000))
+    return parsed.groupBy("level", "family").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("source").alias("sources"),
+    )
+
+
+def q_pipeline_promoted(spark, sf):
+    """Promoted typed-column sums per family: value-checks the convert +
+    promote path (O3 + the typed fast-path columns) across ALL 47
+    promoting rules at once — the oracle rebuilds every promoted value
+    in SQL from the same regexes (duck_oracle.promoted_case_sql)."""
+    parsed = parse_sequences(generate_sequences(spark, 5000))
+    return parsed.groupBy("family").agg(
+        F.count("*").alias("cnt"),
+        F.sum("duration_ms").alias("sum_duration_ms"),
+        F.sum("bytes_in").alias("sum_bytes_in"),
+        F.sum("bytes_out").alias("sum_bytes_out"),
+        F.sum("count").alias("sum_count"),
+    )
+
+
 def q_multimodal_features(spark, sf):
     media = mm.synth_media(spark, n=96)
     feats = mm.extract_features(media)
@@ -795,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pipeline_histogram": q_pipeline_histogram,
         "q_pipeline_topk_rules": q_pipeline_topk_rules,
         "q_pipeline_gc_running": q_pipeline_gc_running,
+        "q_pipeline_level_histogram": q_pipeline_level_histogram,
+        "q_pipeline_promoted": q_pipeline_promoted,
         "q_multimodal_features": q_multimodal_features,
         "q_udtf_sentences": q_udtf_sentences,
         "q_streaming_counts": q_streaming_counts,
@@ -913,6 +941,27 @@ def _gc_running_oracle() -> str:
             FROM parsed_ev WHERE rule_id = 1
         )
         WINDOW w AS (PARTITION BY source ORDER BY ts, doc_id)
+    """
+
+
+def _promoted_oracle() -> str:
+    """Per-family sums of the promoted typed columns, every promoted
+    value rebuilt in SQL from the rulebook's own regexes + converters
+    (duck_oracle.promoted_case_sql) — one query that value-checks all
+    47 promote mappings.  DuckDB HUGEINT sums cast back to BIGINT."""
+    from logparse_spark.duck_oracle import parsed_cte, promoted_case_sql
+    from logparse_spark.rulebook import PROMOTED_COLUMNS
+
+    proj = ",\n".join(
+        f"{promoted_case_sql(c)} AS {c}" for c, _ in PROMOTED_COLUMNS
+    )
+    sums = ",\n".join(
+        f'CAST(sum("{c}") AS BIGINT) AS sum_{c}' for c, _ in PROMOTED_COLUMNS
+    )
+    return parsed_cte(5000, 42) + f"""
+        SELECT family, count(*) AS cnt, {sums}
+        FROM (SELECT family, {proj} FROM parsed_ev)
+        GROUP BY family
     """
 
 
@@ -1258,6 +1307,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
         """),
         "q_pipeline_gc_running": _gc_running_oracle(),
+        "q_pipeline_level_histogram": _pipeline_oracle("""
+            SELECT level, family, count(*) AS cnt,
+                   count(DISTINCT source) AS sources
+            FROM parsed_ev GROUP BY level, family
+        """),
+        "q_pipeline_promoted": _promoted_oracle(),
         # rows-only (legitimately non-SQL-checkable):
         # q_multimodal_features (decode stub is env-limited),
         # q_streaming_counts (streaming state), q_approx_distinct (approx)

@@ -86,6 +86,27 @@ def capture_sql(rule: Rule, group: str, msg: str = "msg") -> str:
     return f"regexp_extract({msg}, '{_q(_anchored(rule.regex))}', {gi})"
 
 
+def promoted_case_sql(target: str, msg: str = "msg", rule_id: str = "rule_id") -> str:
+    """CASE over every rule that promotes a captured field into typed
+    column `target` — the SQL twin of the engine's promote step
+    (engine.py: converted canonical value -> int64).  Both the `int` and
+    `comma_int` converters reduce to strip-commas-then-CAST; the
+    rulebook promotes no float fields (asserted)."""
+    parts = [f"CASE {rule_id}"]
+    for r in RULES:
+        hits = [f for f, tgt in r.promote.items() if tgt == target]
+        if not hits:
+            continue
+        assert len(hits) == 1, (r.rule_id, target, hits)
+        assert r.converters.get(hits[0]) in ("int", "comma_int"), (r.rule_id, hits)
+        ex = capture_sql(r, hits[0], msg)
+        parts.append(
+            f"WHEN {r.rule_id} THEN CAST(replace({ex}, ',', '') AS BIGINT)"
+        )
+    parts.append("ELSE NULL END")
+    return "\n".join(parts)
+
+
 def materialize_corpus(n: int = 5000, seed: int = 42) -> str:
     """Write the deterministic synthetic corpus as parquet DuckDB can
     scan; returns the path (embedded into oracle SQL strings).
@@ -130,8 +151,9 @@ def materialize_corpus(n: int = 5000, seed: int = 42) -> str:
 
 def parsed_cte(n: int = 5000, seed: int = 42) -> str:
     """WITH-clause prefix producing `parsed_ev(doc_id, source, n_tok,
-    ts, rule_id, family, msg)` — the SQL twin of parse_sequences over
-    the same deterministic corpus."""
+    level, ts, rule_id, family, msg)` — the SQL twin of parse_sequences
+    over the same deterministic corpus (level is null when no header
+    format matches, mirroring engine.parse_texts)."""
     path = materialize_corpus(n, seed)
     hdr = _q(HEADER_SQL_REGEX)
     return f"""
@@ -142,12 +164,14 @@ def parsed_cte(n: int = 5000, seed: int = 42) -> str:
         ), hdr AS (
             SELECT doc_id, source, n_tok,
                    regexp_matches(line1, '{hdr}') AS hdr_ok,
+                   regexp_extract(line1, '^([A-Z]+)', 1) AS level_raw,
                    regexp_extract(line1, '{hdr}', 1) AS date_str,
                    regexp_extract(line1, '{hdr}', 2) AS cls,
                    regexp_extract(line1, '{hdr}', 3) AS msg
             FROM raw
         ), parsed_ev AS (
             SELECT doc_id, source, n_tok,
+                   CASE WHEN hdr_ok THEN level_raw END AS level,
                    CASE WHEN hdr_ok
                         THEN strptime(date_str, '%Y-%m-%d %H:%M:%S,%g')
                    END AS ts,
