@@ -666,10 +666,17 @@ def q_udtf_sentences(spark, sf):
 
 
 def q_streaming_counts(spark, sf):
-    """Structured Streaming milestone made visible to the driver: a
-    bounded availableNow run of the SAME parse engine over a file-source
-    stream, watermarked windowed family counts into a memory sink
-    (rows-only — streaming state is not SQL-expressible in DuckDB)."""
+    """Structured Streaming over the PARSE ENGINE with an exact oracle:
+    a bounded availableNow run of the same mapInArrow parse over a
+    file-source stream of the deterministic 2000-row corpus, watermarked
+    1-minute windowed family counts into a memory sink.  The corpus is
+    the same pure function duck_oracle.materialize_corpus regenerates,
+    so the final complete-mode table is value-checked against plain SQL
+    (window start leaves as epoch-micros BIGINT per the driver-hash
+    type law).  The corpus fits one micro-batch (file count << the file
+    source's per-trigger cap), so the 10-minute watermark can never
+    classify any of it late — the streaming result is exactly the batch
+    aggregate."""
     import os
     import tempfile
     import uuid
@@ -684,7 +691,12 @@ def q_streaming_counts(spark, sf):
     base = tempfile.mkdtemp(prefix="lp_stream_entry_")
     inp = os.path.join(base, "seq")
     write_sequences(spark, inp, 2000, n_buckets=2)
-    counts = windowed_family_counts(parse_stream(stream_sequences(spark, inp)))
+    counts = windowed_family_counts(
+        parse_stream(stream_sequences(spark, inp))
+    ).select(
+        F.unix_micros(F.col("start").cast("timestamp")).alias("window_start_us"),
+        "family", "cnt", "total_tokens",
+    )
     name = f"q_streaming_counts_{uuid.uuid4().hex[:8]}"
     try:
         q = (
@@ -698,7 +710,7 @@ def q_streaming_counts(spark, sf):
         # pins them so corpus + checkpoint dirs and older sink tables can
         # be dropped (repeat invocations must not accumulate /tmp or
         # driver-memory state)
-        out = spark.table(name).orderBy("family", "start").localCheckpoint()
+        out = spark.table(name).orderBy("family", "window_start_us").localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
         for v in spark.catalog.listTables():
@@ -962,6 +974,22 @@ def _promoted_oracle() -> str:
         SELECT family, count(*) AS cnt, {sums}
         FROM (SELECT family, {proj} FROM parsed_ev)
         GROUP BY family
+    """
+
+
+def _streaming_counts_oracle() -> str:
+    """Batch twin of q_streaming_counts: the same deterministic 2000-row
+    corpus parsed by the SQL replica, 1-minute tumbling windows as
+    epoch-micros.  Complete output mode over a single availableNow
+    micro-batch == the batch aggregate (the sibling
+    q_streaming_event_counts proved this pattern driver-green in r3)."""
+    from logparse_spark.duck_oracle import parsed_cte
+
+    return parsed_cte(2000, 42) + """
+        SELECT epoch_us(date_trunc('minute', ts)) AS window_start_us,
+               family, count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM parsed_ev WHERE ts IS NOT NULL
+        GROUP BY 1, 2
     """
 
 
@@ -1313,9 +1341,10 @@ def oracle_sql() -> dict[str, str]:
             FROM parsed_ev GROUP BY level, family
         """),
         "q_pipeline_promoted": _promoted_oracle(),
+        "q_streaming_counts": _streaming_counts_oracle(),
         # rows-only (legitimately non-SQL-checkable):
         # q_multimodal_features (decode stub is env-limited),
-        # q_streaming_counts (streaming state), q_approx_distinct (approx)
+        # q_approx_distinct (approximate by nature)
     }
     # the cap never binds on this corpus (test-pinned), so the capped
     # production mode shares the uncapped ground-truth oracle exactly
