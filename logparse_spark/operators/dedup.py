@@ -224,17 +224,37 @@ def minhash_dropped_buckets(
     )
 
 
+def _spread_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _t) projection, repartitioned iff the input under-splits the
+    cluster.  The per-doc signature kernels (minhash UDF, simhash
+    explode+md5 map side) are the CPU-heavy stages of their operators:
+    never let them run at input-FILE parallelism.  A small corpus in one
+    parquet file would otherwise compute every signature in a single
+    task (measured at sf0.1: 15 s serial vs ~1 s spread over the cores)
+    — and a serial stage is also maximally exposed to single-core
+    noisy-neighbor slowdowns.  The repartition shuffles only the
+    (id, text) projection, and only when needed; a large input already
+    split into >= cores/2 tasks passes through untouched (no extra
+    Exchange at 100 TB, where inputs arrive in thousands of splits)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    if narrow.rdd.getNumPartitions() < max(2, par // 2):
+        narrow = narrow.repartition(par)
+    return narrow
+
+
 def _minhash_banded(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int,
     bands: int, shingle_n: int, seed: int, impl: str,
 ) -> DataFrame:
     """(id, band, band_hash) — one row per document per band."""
     rows_per_band = num_hashes // bands
+    narrow = _spread_text(df, id_col, text_col)
     if impl == "np":
-        sig_col = minhash_signature_np(text_col, num_hashes, shingle_n, seed)
+        sig_col = minhash_signature_np("_t", num_hashes, shingle_n, seed)
     else:
-        sig_col = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes, seed)
-    sig = df.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
+        sig_col = minhash_signature(word_shingles(F.col("_t"), shingle_n), num_hashes, seed)
+    sig = narrow.select("id", sig_col.alias("sig"))
     return sig.select(
         "id",
         F.explode(
@@ -517,11 +537,12 @@ def simhash_sql(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     simhash (they have no near-dup signal; exact_dedup owns them).
     """
     words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+        F.split(F.lower(F.trim(F.col("_t"))), r"\s+"), lambda w: w != ""
     )
     hv = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("bigint")
     exploded = (
-        df.select(F.col(id_col).alias("id"), F.explode(words).alias("word"))
+        _spread_text(df, id_col, text_col)
+        .select("id", F.explode(words).alias("word"))
         .withColumn("hv", hv)
     )
     aggs = [
