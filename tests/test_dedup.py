@@ -228,3 +228,30 @@ def test_connected_components_log_rounds_on_long_chain(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_spread_text_spreads_single_partition_input(spark):
+    # a one-file/one-partition corpus must NOT run the signature kernel
+    # in a single task (the sf0.1 documents table is one parquet file)
+    one = spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(50)], "doc_id string, text string"
+    ).coalesce(1)
+    spread = dd._spread_text(one, "doc_id", "text")
+    assert one.rdd.getNumPartitions() == 1
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_spread_text_leaves_well_split_input_alone(spark):
+    # a well-split input keeps its plan — _spread_text adds no Exchange
+    # of its own beyond whatever the input already contains
+    par = spark.sparkContext.defaultParallelism
+    many = spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(50)], "doc_id string, text string"
+    ).repartition(par)
+    spread = dd._spread_text(many, "doc_id", "text")
+    assert spread.rdd.getNumPartitions() == par
+    # logical plan (no AQE initial/final duplication): only the input's
+    # own Repartition node, none added by _spread_text
+    def n_repart(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count("Repartition")
+    assert n_repart(spread) == n_repart(many) == 1
