@@ -105,3 +105,49 @@ def shingle_fingerprint(text: Column, n: int = 4) -> Column:
         lambda i: text.substr(i + 1, F.lit(n)),
     )
     return F.array_min(F.transform(grams, lambda g: F.abs(F.xxhash64(g))))
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    chunk_tokens: int = 512, overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with overlap — the
+    standard LLM-training/RAG preparation step (context-window packing).
+
+    One output row per chunk: (id, chunk_id, chunk_text, n_tokens),
+    where chunk k covers whitespace tokens
+    [k*(chunk_tokens-overlap), k*(chunk_tokens-overlap)+chunk_tokens).
+    The final window is kept even when short; a document shorter than
+    one window yields exactly one chunk; consecutive chunks share
+    `overlap` tokens so no boundary context is lost.
+
+    Implementation is pure JVM higher-order expressions (split ->
+    sequence over window starts -> slice -> array_join): whole-stage
+    codegen, zero Python, no shuffle, and the explode inherits the
+    scan's parallelism — at 100 TB this is a map-only stage whose
+    output feeds dedup/tokenize stages directly.  Exactly replicable in
+    DuckDB (list slicing), so the operator is oracle-checkable.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda k: F.struct(
+            k.alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, k * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(n - k * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("c"))
+        .select("id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
+    )

@@ -58,3 +58,70 @@ def test_shingle_fingerprint_local_edit_stability(spark):
            df.select("id", tx.shingle_fingerprint(F.col("text")).alias("fp")).collect()}
     assert got["a"] == got["b"]  # min-shingle unchanged by a suffix edit
     assert got["a"] != got["c"]
+
+
+def test_chunk_documents_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from logparse_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=16, overlap=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute("""
+            WITH t AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   w -> w <> '') AS toks
+                FROM documents
+            ), n AS (
+                SELECT id, toks, len(toks) AS n,
+                       1 + CAST(ceil(greatest(len(toks) - 16, 0) / 12.0) AS INT)
+                           AS n_chunks
+                FROM t
+            )
+            SELECT id, k AS chunk_id,
+                   array_to_string(toks[k*12+1 : k*12+16], ' ') AS chunk_text,
+                   least(n - k*12, 16) AS n_tokens
+            FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(k)
+        """).fetchall()
+    }
+    assert got == want
+    assert len(got) > docs.count()  # long docs produced multiple chunks
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from logparse_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [("a", " ".join(f"w{i}" for i in range(10))),  # 10 toks: 2 chunks of 8/stride 6
+         ("b", "one two"),                              # shorter than one window
+         ("c", " ".join(f"x{i}" for i in range(8)))],   # exactly one window
+        "doc_id string, text string",
+    )
+    out = {(r["id"], r["chunk_id"]): r for r in
+           chunk_documents(df, chunk_tokens=8, overlap=2).collect()}
+    assert out[("a", 0)]["chunk_text"].split() == [f"w{i}" for i in range(8)]
+    # stride 6: second chunk starts at token 6, shares 2 tokens with chunk 0
+    assert out[("a", 1)]["chunk_text"].split() == [f"w{i}" for i in range(6, 10)]
+    assert out[("a", 1)]["n_tokens"] == 4
+    assert out[("b", 0)]["chunk_text"] == "one two" and out[("b", 0)]["n_tokens"] == 2
+    assert ("b", 1) not in out
+    assert out[("c", 0)]["n_tokens"] == 8 and ("c", 1) not in out
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from logparse_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
