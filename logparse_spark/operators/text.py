@@ -9,7 +9,7 @@ column expressions (whole-stage codegen; zero Python in the hot path).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword profiles (heuristic language ID)
@@ -150,4 +150,39 @@ def chunk_documents(
     return (
         df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("c"))
         .select("id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
+    )
+
+
+def pack_chunks(
+    df: DataFrame, target_tokens: int = 2048,
+    order_cols: tuple[str, ...] = ("id", "chunk_id"),
+    partition_col: str | None = None, tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign chunks to training-context packs by sequential greedy
+    packing: walking the corpus in a deterministic order, a chunk joins
+    the current pack while the running token total fits, else it opens
+    the next one — `pack_id = floor((cumsum(n_tokens) - n_tokens) /
+    target_tokens)` in one window pass.
+
+    This is the standard "sequence packing" step between chunking and
+    tokenization (padding waste -> near zero).  The bucketing is a pure
+    function of the sort order, so it is reproducible across runs and
+    engines (exact DuckDB twin) — unlike bin-packing heuristics that
+    depend on partition boundaries.  `partition_col` scopes packs (e.g.
+    one stream of packs per source/language shard): with it the window
+    partitions by that column and the single global-order window
+    becomes many independent ones — the 100 TB shape, where a global
+    total order would serialize the sort into one reducer.  Packs can
+    overflow `target_tokens` by at most one chunk (greedy semantics:
+    a chunk is never split across packs).
+    """
+    w = Window.orderBy(*order_cols)
+    if partition_col is not None:
+        w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    run = F.sum(F.col(tokens_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "pack_id",
+        F.floor((run - F.col(tokens_col)) / F.lit(target_tokens)).cast("bigint"),
     )

@@ -125,3 +125,59 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_pack_chunks_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from logparse_spark.operators.text import chunk_documents, pack_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    got = {(r["id"], r["chunk_id"]): r["pack_id"]
+           for r in pack_chunks(chunks, target_tokens=64).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute("""
+            WITH t AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   w -> w <> '') AS toks
+                FROM documents
+            ), n AS (
+                SELECT id, toks, len(toks) AS n,
+                       1 + CAST(ceil(greatest(len(toks) - 16, 0) / 12.0) AS INT)
+                           AS n_chunks
+                FROM t
+            ), c AS (
+                SELECT id, k AS chunk_id, least(n - k*12, 16) AS n_tokens
+                FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(k)
+            )
+            SELECT id, chunk_id,
+                   CAST(floor((sum(n_tokens) OVER (ORDER BY id, chunk_id)
+                               - n_tokens) / 64.0) AS BIGINT) AS pack_id
+            FROM c
+        """).fetchall()
+    }
+    assert got == want
+    assert len(set(got.values())) > 1  # corpus spans multiple packs
+
+
+def test_pack_chunks_greedy_semantics(spark):
+    from logparse_spark.operators.text import pack_chunks
+
+    rows = [("a", 0, 30), ("a", 1, 30), ("a", 2, 30), ("b", 0, 70), ("b", 1, 10)]
+    df = spark.createDataFrame(rows, "id string, chunk_id int, n_tokens int")
+    got = {(r["id"], r["chunk_id"]): r["pack_id"]
+           for r in pack_chunks(df, target_tokens=64).collect()}
+    # cumsum-30: pack floor((30-30)/64)=0; 60->0; 90->floor(60/64)=0;
+    # 160->floor(90/64)=1; 170->floor(160/64)=2
+    assert got == {("a", 0): 0, ("a", 1): 0, ("a", 2): 0, ("b", 0): 1, ("b", 1): 2}
+    # partition-scoped packs restart per partition value
+    scoped = {(r["id"], r["chunk_id"]): r["pack_id"]
+              for r in pack_chunks(df, target_tokens=64,
+                                   partition_col="id").collect()}
+    assert scoped == {("a", 0): 0, ("a", 1): 0, ("a", 2): 0, ("b", 0): 0, ("b", 1): 1}
