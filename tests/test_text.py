@@ -181,3 +181,61 @@ def test_pack_chunks_greedy_semantics(spark):
               for r in pack_chunks(df, target_tokens=64,
                                    partition_col="id").collect()}
     assert scoped == {("a", 0): 0, ("a", 1): 0, ("a", 2): 0, ("b", 0): 0, ("b", 1): 1}
+
+
+def test_chunk_pack_property_roundtrip(spark):
+    """Property: dropping each chunk's leading `overlap` tokens (except
+    chunk 0) and concatenating reconstructs the document's token list
+    exactly; every pack's token sum <= target + max chunk size (greedy
+    bound).  Randomized docs via hypothesis, checked through Spark in
+    one batch (a per-example Spark job would take minutes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logparse_spark.operators.text import chunk_documents, pack_chunks
+
+    chunk_tokens, overlap, target = 8, 3, 20
+    stride = chunk_tokens - overlap
+    word = st.text(alphabet="abcXYZ09", min_size=1, max_size=5)
+    corpus: list[tuple[str, str]] = []
+
+    @given(st.lists(word, min_size=1, max_size=40))
+    @settings(max_examples=60, deadline=None)
+    def collect(words):
+        corpus.append((f"d{len(corpus)}", " ".join(words)))
+
+    collect()
+    df = spark.createDataFrame(corpus, "doc_id string, text string")
+    chunks = chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap)
+    packed = pack_chunks(chunks, target_tokens=target).collect()
+
+    by_doc: dict[str, list] = {}
+    for r in packed:
+        by_doc.setdefault(r["id"], []).append(r)
+    originals = dict(corpus)
+    assert set(by_doc) == set(originals)
+    pack_sums: dict[int, int] = {}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        want = [w for w in originals[doc_id].split() if w]
+        rebuilt = []
+        for r in rows:
+            toks = r["chunk_text"].split()
+            assert len(toks) == r["n_tokens"] <= chunk_tokens
+            rebuilt.extend(toks if r["chunk_id"] == 0 else toks[overlap:]
+                           if r["chunk_id"] * stride + overlap <= len(want)
+                           else toks[len(rebuilt) - r["chunk_id"] * stride:])
+            pack_sums[r["pack_id"]] = pack_sums.get(r["pack_id"], 0) + r["n_tokens"]
+        assert rebuilt == want, (doc_id, rebuilt, want)
+    assert all(s <= target + chunk_tokens for s in pack_sums.values())
+
+
+def test_hash_sample_property_fraction_accuracy(spark):
+    """Property: over many deterministic keys the Bernoulli keep-rate
+    concentrates near the requested fraction (md5 uniformity)."""
+    from logparse_spark.operators import sampling as sp
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    for frac in (0.1, 0.5, 0.9):
+        kept = sp.hash_sample(df, frac, key_col="doc_id").count()
+        assert abs(kept / 4000 - frac) < 0.03, (frac, kept)
