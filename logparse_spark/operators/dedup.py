@@ -235,10 +235,20 @@ def _spread_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     noisy-neighbor slowdowns.  The repartition shuffles only the
     (id, text) projection, and only when needed; a large input already
     split into >= cores/2 tasks passes through untouched (no extra
-    Exchange at 100 TB, where inputs arrive in thousands of splits)."""
+    Exchange at 100 TB, where inputs arrive in thousands of splits).
+
+    The split-count probe (`.rdd.getNumPartitions()`) runs ONLY for
+    file-scan inputs: on a derived plan (anything downstream of a
+    shuffle) the RDD conversion finalizes AQE and eagerly executes the
+    upstream query stages — and such inputs are already spread by their
+    own shuffle, so they pass through unprobed and untouched."""
     par = df.sparkSession.sparkContext.defaultParallelism
     narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    if narrow.rdd.getNumPartitions() < max(2, par // 2):
+    try:
+        is_file_scan = bool(df.inputFiles())
+    except Exception:  # noqa: BLE001 - non-file sources
+        is_file_scan = False
+    if is_file_scan and narrow.rdd.getNumPartitions() < max(2, par // 2):
         narrow = narrow.repartition(par)
     return narrow
 

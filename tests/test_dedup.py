@@ -230,15 +230,34 @@ def test_connected_components_log_rounds_on_long_chain(spark):
     assert got == {i: 0 for i in range(n)}
 
 
-def test_spread_text_spreads_single_partition_input(spark):
-    # a one-file/one-partition corpus must NOT run the signature kernel
-    # in a single task (the sf0.1 documents table is one parquet file)
-    one = spark.createDataFrame(
+def test_spread_text_spreads_single_file_input(spark, tmp_path):
+    # a one-file corpus must NOT run the signature kernel in a single
+    # task (the sf0.1 documents table is one parquet file)
+    path = str(tmp_path / "one_file_docs")
+    spark.createDataFrame(
         [(f"d{i}", f"text {i}") for i in range(50)], "doc_id string, text string"
-    ).coalesce(1)
-    spread = dd._spread_text(one, "doc_id", "text")
+    ).coalesce(1).write.parquet(path)
+    one = spark.read.parquet(path)
     assert one.rdd.getNumPartitions() == 1
+    spread = dd._spread_text(one, "doc_id", "text")
     assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_spread_text_skips_derived_plans(spark):
+    # anything downstream of a shuffle is already spread by that shuffle;
+    # probing it would eagerly execute the upstream AQE stages, so the
+    # helper must leave derived plans alone (no probe, no repartition)
+    derived = (
+        spark.createDataFrame(
+            [(f"d{i}", f"text {i}", i % 3) for i in range(50)],
+            "doc_id string, text string, g int",
+        )
+        .groupBy("doc_id").agg({"text": "max", "g": "max"})
+        .withColumnRenamed("max(text)", "text")
+    )
+    spread = dd._spread_text(derived, "doc_id", "text")
+    plan = spread._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" not in plan
 
 
 def test_spread_text_leaves_well_split_input_alone(spark):
