@@ -122,13 +122,17 @@ def materialize_corpus(n: int = 5000, seed: int = 42) -> str:
 
     from logparse_spark.sources.datagen import make_event
 
-    # cache key fingerprints EVERY row (generation is pure Python and
-    # cheap) so a datagen change — however localized — can never leave a
-    # stale corpus parquet behind the SQL oracle's back
+    # cache key fingerprints every FIELD of every row (generation is pure
+    # Python and cheap) so a datagen change — however localized, even one
+    # touching only doc_id/source/n_tok — can never leave a stale corpus
+    # parquet behind the SQL oracle's back (ADVICE r4: tokens-only CRC
+    # missed non-token field changes)
     rows = [make_event(i, seed) for i in range(n)]
     fp_crc = 0
     for r in rows:
-        fp_crc = zlib.crc32(bytes(r[1]), fp_crc)
+        fp_crc = zlib.crc32(
+            repr((r[0], bytes(r[1]), r[2], r[3])).encode(), fp_crc
+        )
     fp = f"{fp_crc:08x}"
     path = os.path.join(CORPUS_DIR, f"oracle_corpus_{n}_{seed}_{fp}.parquet")
     if os.path.exists(path):

@@ -238,19 +238,46 @@ def _spread_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Exchange at 100 TB, where inputs arrive in thousands of splits).
 
     The split-count probe (`.rdd.getNumPartitions()`) runs ONLY for
-    file-scan inputs: on a derived plan (anything downstream of a
-    shuffle) the RDD conversion finalizes AQE and eagerly executes the
-    upstream query stages — and such inputs are already spread by their
-    own shuffle, so they pass through unprobed and untouched."""
+    DIRECT file-scan inputs: on a derived plan (anything downstream of
+    a shuffle) the RDD conversion finalizes AQE and eagerly executes
+    the upstream query stages — and such inputs are already spread by
+    their own shuffle, so they pass through unprobed and untouched.
+    `inputFiles()` is NOT the test for this (it collects file sources
+    from the WHOLE plan, so a parquet-backed aggregate still reports
+    files — ADVICE r4); `_is_direct_file_scan` inspects the optimized
+    logical plan for wide/generating operators instead."""
     par = df.sparkSession.sparkContext.defaultParallelism
     narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    try:
-        is_file_scan = bool(df.inputFiles())
-    except Exception:  # noqa: BLE001 - non-file sources
-        is_file_scan = False
-    if is_file_scan and narrow.rdd.getNumPartitions() < max(2, par // 2):
+    if _is_direct_file_scan(df) and narrow.rdd.getNumPartitions() < max(2, par // 2):
         narrow = narrow.repartition(par)
     return narrow
+
+
+# logical-plan node names whose presence means the input is NOT a plain
+# scan+project+filter: either a shuffle already spread it, or probing its
+# RDD would eagerly execute upstream stages (Aggregate/Join/...), or its
+# row count is not the scan's (Generate/Limit/Sample)
+_NON_SCAN_NODES = (
+    "Aggregate", "Join", "Window", "Sort", "Repartition", "Exchange",
+    "Generate", "Deduplicate", "Distinct", "Union", "Intersect", "Except",
+    "GlobalLimit", "LocalLimit", "Expand", "Sample", "CoGroup", "MapInPandas",
+    "MapInArrow", "FlatMapGroupsInPandas", "MapGroups", "MapElements",
+)
+
+
+def _is_direct_file_scan(df: DataFrame) -> bool:
+    """True iff the frame is a plain projection/filter over a file
+    relation — the only shape whose RDD partition count is (a) cheap to
+    probe (metadata-only, nothing executes) and (b) actually the file
+    split count.  Uses the OPTIMIZED logical plan: producing it runs the
+    analyzer/optimizer but never launches a job."""
+    try:
+        if not df.inputFiles():  # no file source anywhere (createDataFrame)
+            return False
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 - non-SQL inputs (e.g. raw RDD frames)
+        return False
+    return not any(marker in plan for marker in _NON_SCAN_NODES)
 
 
 def _minhash_banded(

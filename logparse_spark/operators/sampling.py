@@ -27,9 +27,18 @@ _HASH_SPACE = 1 << 60
 
 
 def _hash60(col, seed: int):
-    """Deterministic uniform BIGINT in [0, 2^60) from (value, seed)."""
+    """Deterministic uniform BIGINT in [0, 2^60) from (value, seed).
+
+    NULL policy: `F.concat` (unlike concat_ws) propagates NULL, so a
+    NULL key hashes to NULL and every comparison against it is NULL —
+    null-key rows are EXCLUDED from every sample and from BOTH sides of
+    a split, identically to the DuckDB twin
+    ``md5(key || chr(31) || seed)`` (`||` is null-propagating).  The
+    alternative (concat_ws skipping nulls) would silently keep or drop
+    ALL null-key rows as one block and diverge from the oracle.
+    """
     return F.conv(
-        F.substring(F.md5(F.concat_ws("\x1f", col.cast("string"), F.lit(str(seed)))), 1, 15),
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit("\x1f"), F.lit(str(seed)))), 1, 15),
         16, 10,
     ).cast("bigint")
 
@@ -74,6 +83,11 @@ def stratified_sample(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if "_rk" in df.columns:
+        raise ValueError(
+            "stratified_sample uses '_rk' internally; rename the input "
+            "column (it would be silently overwritten and dropped)"
+        )
     w = Window.partitionBy(strata_col).orderBy(
         _hash60(F.col(key_col), seed).asc(), F.col(key_col).asc()
     )
@@ -95,6 +109,8 @@ def split_train_holdout(
     migrate between splits across runs or repartitionings — the
     contamination guarantee an eval split needs.  Both sides are plain
     filters over one scan (no shuffle, no materialized split table).
+    NULL keys land in NEITHER side (see `_hash60`): a row with no
+    identity cannot be given a stable split assignment.
     """
     if not 0.0 < holdout_fraction < 1.0:
         raise ValueError(f"holdout_fraction must be in (0,1), got {holdout_fraction}")

@@ -157,27 +157,46 @@ def pack_chunks(
     df: DataFrame, target_tokens: int = 2048,
     order_cols: tuple[str, ...] = ("id", "chunk_id"),
     partition_col: str | None = None, tokens_col: str = "n_tokens",
+    allow_global_order: bool = False,
 ) -> DataFrame:
-    """Assign chunks to training-context packs by sequential greedy
-    packing: walking the corpus in a deterministic order, a chunk joins
-    the current pack while the running token total fits, else it opens
-    the next one — `pack_id = floor((cumsum(n_tokens) - n_tokens) /
-    target_tokens)` in one window pass.
+    """Assign chunks to training-context packs by cumulative-offset
+    bucketing: walking the chunks in a deterministic order, `pack_id =
+    floor((cumsum(n_tokens) - n_tokens) / target_tokens)` in one window
+    pass — pack boundaries fall at multiples of `target_tokens` of the
+    running token sum.  A chunk is never split across packs; a pack
+    that overflows its boundary consumes the next pack's budget (e.g.
+    target 64 over chunk sums 90/70/10 yields packs of 90/70/10 tokens
+    at ids 0/1/2), and a single chunk larger than `target_tokens` can
+    skip pack ids entirely.  This is NOT first-fit bin packing: the
+    assignment is a pure function of the sort order, so it is
+    reproducible across runs, partitionings, and engines (exact DuckDB
+    twin) — unlike heuristics that depend on partition boundaries.
 
     This is the standard "sequence packing" step between chunking and
-    tokenization (padding waste -> near zero).  The bucketing is a pure
-    function of the sort order, so it is reproducible across runs and
-    engines (exact DuckDB twin) — unlike bin-packing heuristics that
-    depend on partition boundaries.  `partition_col` scopes packs (e.g.
-    one stream of packs per source/language shard): with it the window
-    partitions by that column and the single global-order window
-    becomes many independent ones — the 100 TB shape, where a global
-    total order would serialize the sort into one reducer.  Packs can
-    overflow `target_tokens` by at most one chunk (greedy semantics:
-    a chunk is never split across packs).
+    tokenization (padding waste -> near zero).  `partition_col` scopes
+    packs (one independent stream of packs per source/language/shard
+    value) and is REQUIRED by default: it makes the window
+    per-partition — the 100 TB shape.  Without it the cumsum runs over
+    an unpartitioned `Window.orderBy`, which Spark computes in a SINGLE
+    reducer after a global sort — fine for a small corpus, catastrophic
+    at scale — so the global form must be requested explicitly with
+    `allow_global_order=True`.
     """
-    w = Window.orderBy(*order_cols)
-    if partition_col is not None:
+    if "pack_id" in df.columns:
+        raise ValueError(
+            "pack_chunks writes 'pack_id'; rename the existing input "
+            "column (it would be silently overwritten)"
+        )
+    if partition_col is None:
+        if not allow_global_order:
+            raise ValueError(
+                "pack_chunks without partition_col computes a global-order "
+                "cumsum in ONE reducer — unusable beyond a small corpus. "
+                "Pass partition_col (e.g. a source/language/hash shard) or "
+                "opt in explicitly with allow_global_order=True."
+            )
+        w = Window.orderBy(*order_cols)
+    else:
         w = Window.partitionBy(partition_col).orderBy(*order_cols)
     run = F.sum(F.col(tokens_col)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

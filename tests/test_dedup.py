@@ -260,6 +260,34 @@ def test_spread_text_skips_derived_plans(spark):
     assert "Repartition" not in plan
 
 
+def test_spread_text_skips_parquet_backed_derived_plans(spark, tmp_path):
+    # ADVICE r4: inputFiles() collects file sources from the WHOLE plan,
+    # so a parquet-backed AGGREGATE used to look like a file scan and got
+    # probed (eagerly executing the upstream stages).  The plan-based
+    # guard must classify it as derived: no probe, no repartition.
+    path = str(tmp_path / "agg_docs")
+    spark.createDataFrame(
+        [(f"d{i}", f"text {i}", i % 3) for i in range(50)],
+        "doc_id string, text string, g int",
+    ).coalesce(1).write.parquet(path)
+    derived = (
+        spark.read.parquet(path)
+        .groupBy("doc_id").agg({"text": "max"})
+        .withColumnRenamed("max(text)", "text")
+    )
+    assert derived.inputFiles()  # the old heuristic would have probed this
+    assert not dd._is_direct_file_scan(derived)
+    plan = (
+        dd._spread_text(derived, "doc_id", "text")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Repartition" not in plan
+    # and the direct scan of the same file IS classified as a scan
+    assert dd._is_direct_file_scan(spark.read.parquet(path))
+    assert dd._is_direct_file_scan(
+        spark.read.parquet(path).where("g = 1").select("doc_id", "text"))
+
+
 def test_spread_text_leaves_well_split_input_alone(spark):
     # a well-split input keeps its plan — _spread_text adds no Exchange
     # of its own beyond whatever the input already contains

@@ -98,6 +98,25 @@ def test_split_train_holdout_disjoint_and_total(docs):
     assert {r["doc_id"] for r in hold2.collect()} == h
 
 
+def test_null_keys_excluded_everywhere(spark):
+    """NULL-key policy (ADVICE r4): null keys hash to NULL (F.concat
+    propagates), so they are excluded from samples and from BOTH split
+    sides — exactly like the DuckDB twin's null-propagating `||`."""
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,)], "doc_id string")
+    kept = {r["doc_id"] for r in sp.hash_sample(df, 1.0).collect()}
+    assert None not in kept and kept == {"a", "b"}  # frac=1.0 keeps all non-null
+    train, hold = sp.split_train_holdout(df, 0.5)
+    both = {r["doc_id"] for r in train.collect()} | {r["doc_id"] for r in hold.collect()}
+    assert None not in both and both == {"a", "b"}
+
+
+def test_stratified_sample_rejects_rk_collision(spark):
+    df = spark.createDataFrame([("a", "en", 1)], "doc_id string, lang string, _rk int")
+    with pytest.raises(ValueError, match="_rk"):
+        sp.stratified_sample(df, "lang", 2)
+
+
 def test_hash_sample_no_shuffle(docs):
     plan = sp.hash_sample(docs, 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map-side filter

@@ -135,7 +135,8 @@ def test_pack_chunks_matches_duckdb_oracle(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
     got = {(r["id"], r["chunk_id"]): r["pack_id"]
-           for r in pack_chunks(chunks, target_tokens=64).collect()}
+           for r in pack_chunks(chunks, target_tokens=64,
+                                allow_global_order=True).collect()}
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM "
                 "read_parquet('/root/testdata/sf0.001/documents.parquet')")
@@ -172,7 +173,8 @@ def test_pack_chunks_greedy_semantics(spark):
     rows = [("a", 0, 30), ("a", 1, 30), ("a", 2, 30), ("b", 0, 70), ("b", 1, 10)]
     df = spark.createDataFrame(rows, "id string, chunk_id int, n_tokens int")
     got = {(r["id"], r["chunk_id"]): r["pack_id"]
-           for r in pack_chunks(df, target_tokens=64).collect()}
+           for r in pack_chunks(df, target_tokens=64,
+                                allow_global_order=True).collect()}
     # cumsum-30: pack floor((30-30)/64)=0; 60->0; 90->floor(60/64)=0;
     # 160->floor(90/64)=1; 170->floor(160/64)=2
     assert got == {("a", 0): 0, ("a", 1): 0, ("a", 2): 0, ("b", 0): 1, ("b", 1): 2}
@@ -207,7 +209,8 @@ def test_chunk_pack_property_roundtrip(spark):
     collect()
     df = spark.createDataFrame(corpus, "doc_id string, text string")
     chunks = chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap)
-    packed = pack_chunks(chunks, target_tokens=target).collect()
+    packed = pack_chunks(chunks, target_tokens=target,
+                         allow_global_order=True).collect()
 
     by_doc: dict[str, list] = {}
     for r in packed:
@@ -228,6 +231,50 @@ def test_chunk_pack_property_roundtrip(spark):
             pack_sums[r["pack_id"]] = pack_sums.get(r["pack_id"], 0) + r["n_tokens"]
         assert rebuilt == want, (doc_id, rebuilt, want)
     assert all(s <= target + chunk_tokens for s in pack_sums.values())
+
+
+def test_pack_chunks_requires_partition_col(spark):
+    """Scale-safety default: the one-reducer global-order form must be
+    an explicit opt-in, never the silent default (VERDICT r4 #2)."""
+    import pytest
+
+    from logparse_spark.operators.text import pack_chunks
+
+    df = spark.createDataFrame([("a", 0, 5)], "id string, chunk_id int, n_tokens int")
+    with pytest.raises(ValueError, match="partition_col"):
+        pack_chunks(df, target_tokens=64)
+
+
+def test_pack_chunks_rejects_pack_id_collision(spark):
+    import pytest
+
+    from logparse_spark.operators.text import pack_chunks
+
+    df = spark.createDataFrame(
+        [("a", 0, 5, 9)], "id string, chunk_id int, n_tokens int, pack_id int")
+    with pytest.raises(ValueError, match="pack_id"):
+        pack_chunks(df, target_tokens=64, partition_col="id")
+
+
+def test_pack_chunks_partitioned_plan_has_no_global_sort(spark):
+    """The partitioned form must shuffle on the partition key (hash
+    exchange) and never collapse to a single partition; the global form
+    is exactly the Exchange SinglePartition this pin forbids."""
+    from logparse_spark.operators.text import pack_chunks
+
+    df = spark.createDataFrame(
+        [("a", "s0", 0, 5), ("b", "s1", 0, 7)],
+        "id string, shard string, chunk_id int, n_tokens int")
+    scoped = (
+        pack_chunks(df, target_tokens=64, partition_col="shard")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in scoped
+    glob = (
+        pack_chunks(df, target_tokens=64, allow_global_order=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" in glob  # proves the pin detects it
 
 
 def test_hash_sample_property_fraction_accuracy(spark):
