@@ -567,6 +567,60 @@ def q_text_fingerprint(spark, sf):
     )
 
 
+def q_sample_stratified(spark, sf):
+    """Deterministic k-per-stratum sampling (operators/sampling.py):
+    exactly-3-docs-per-language quota via rank-by-md5-prefix hash.
+    Partitioning-independent (pure function of doc_id), one shuffle on
+    the stratum key with a WindowGroupLimit partial top-k (plan-pinned
+    in tests/test_sampling.py); the oracle computes the identical
+    60-bit hash, so membership is exactly value-checked."""
+    from logparse_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(docs, "lang", 3, seed=42).select("doc_id", "lang")
+
+
+def q_chunk_documents(spark, sf):
+    """Fixed-token-window document chunking with overlap (text.py):
+    16-token windows, 4-token overlap, final short window kept.  Pure
+    JVM higher-order expressions (split -> sequence -> slice ->
+    array_join -> explode): map-only, no shuffle, inherits scan
+    parallelism — the LLM context-window preparation step.  The oracle
+    replicates the windows with DuckDB list slicing."""
+    from logparse_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    return chunk_documents(docs, chunk_tokens=16, overlap=4).select(
+        "id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+def q_pack_chunks(spark, sf):
+    """Sequence packing in the scale-safe SHARDED shape (text.py):
+    chunks get a deterministic md5-derived shard, then cumulative-offset
+    bucketing assigns pack ids per shard — many independent window
+    partitions instead of the one-reducer global sort (the global form
+    now requires an explicit allow_global_order opt-in).  pack_id is a
+    pure function of (shard, sort order), so the DuckDB twin reproduces
+    it exactly."""
+    from logparse_spark.operators.text import chunk_documents, pack_chunks
+
+    docs = _t(spark, sf, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4).withColumn(
+        "shard",
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 2), 16, 10).cast("bigint") % 4,
+    )
+    return pack_chunks(chunks, target_tokens=64, partition_col="shard").select(
+        "id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "shard",
+        "pack_id",
+    )
+
+
 def q_pipeline_histogram(spark, sf):
     """The flagship engine itself, EXACTLY oracle-checked: deterministic
     synthetic corpus -> rule-hit histogram, vs a DuckDB replica of the
@@ -810,15 +864,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_datetime_fns": q_datetime_fns,
         "q_json_fns": q_json_fns,
         "q_array_fns": q_array_fns,
-        "q_explode_words": q_explode_words,
         "q_map_fns": q_map_fns,
         "q_range_join": q_range_join,
         "q_session_window": q_session_window,
         "q_asof_join": q_asof_join,
-        "q_asof_prior_click": q_asof_prior_click,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_jaccard": q_dedup_jaccard,
-        "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_minhash_capped": q_dedup_minhash_capped,
         "q_dedup_clusters": q_dedup_clusters,
         "q_dedup_simhash": q_dedup_simhash,
@@ -835,6 +886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pipeline_gc_running": q_pipeline_gc_running,
         "q_pipeline_level_histogram": q_pipeline_level_histogram,
         "q_pipeline_promoted": q_pipeline_promoted,
+        "q_sample_stratified": q_sample_stratified,
+        "q_chunk_documents": q_chunk_documents,
+        "q_pack_chunks": q_pack_chunks,
         "q_multimodal_features": q_multimodal_features,
         "q_udtf_sentences": q_udtf_sentences,
         "q_streaming_counts": q_streaming_counts,
@@ -1008,6 +1062,35 @@ _MINHASH_SHINGLE_CTES = """d AS (
 _MINHASH_JACCARD_PRED = """len(list_intersect(a.sh, b.sh)) * 1.0
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8"""
 
+# LSH candidates + exact verify == all pairs with exact word-3-gram
+# Jaccard >= 0.8 (banding miss ~2e-9/pair at r=3,b=28); the oracle is
+# the quadratic ground truth the LSH approximates.  Shingle construction
+# mirrors dedup.word_shingles(n=3) exactly: unfiltered \\s+ split of
+# lower(trim(text)), distinct 3-gram joins, one partial gram for docs
+# shorter than 3 words.  Shared by the capped (driver) and uncapped
+# (retired/ground-truth) modes — the cap is pinned non-binding on this
+# corpus, so both produce exactly this set.
+_MINHASH_ORACLE_SQL = f"""
+            WITH {_MINHASH_SHINGLE_CTES}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE {_MINHASH_JACCARD_PRED}
+        """
+
+# chunk CTEs shared by the q_chunk_documents and q_pack_chunks oracles
+# (16-token windows, stride 12) so the window arithmetic cannot drift
+_CHUNK_CTES = """t AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   w -> w <> '') AS toks
+                FROM documents
+            ), n AS (
+                SELECT id, toks, len(toks) AS n,
+                       1 + CAST(ceil(greatest(len(toks) - 16, 0) / 12.0) AS INT)
+                           AS n_chunks
+                FROM t
+            )"""
+
 
 def oracle_sql() -> dict[str, str]:
     out = {
@@ -1132,11 +1215,34 @@ def oracle_sql() -> dict[str, str]:
                    max(len(embedding[1:8])) AS slice_dim
             FROM embeddings GROUP BY label
         """,
-        "q_explode_words": """
-            SELECT word, count(*) AS cnt FROM (
-                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
-                FROM documents) WHERE word <> ''
-            GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 10
+        "q_sample_stratified": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang, row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY CAST(('0x' || substring(md5(doc_id || chr(31) || '42'), 1, 15))
+                                 AS BIGINT) ASC,
+                             doc_id ASC) AS rk
+                FROM documents) WHERE rk <= 3
+        """,
+        "q_chunk_documents": f"""
+            WITH {_CHUNK_CTES}
+            SELECT id, CAST(k AS BIGINT) AS chunk_id,
+                   array_to_string(toks[k*12+1 : k*12+16], ' ') AS chunk_text,
+                   CAST(least(n - k*12, 16) AS BIGINT) AS n_tokens
+            FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(k)
+        """,
+        "q_pack_chunks": f"""
+            WITH {_CHUNK_CTES}, c AS (
+                SELECT id, k AS chunk_id, least(n - k*12, 16) AS n_tokens,
+                       CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 2)) AS BIGINT) % 4 AS shard
+                FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(k)
+            )
+            SELECT id, CAST(chunk_id AS BIGINT) AS chunk_id, shard,
+                   CAST(floor((sum(n_tokens) OVER (
+                            PARTITION BY shard ORDER BY id, chunk_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / 64.0) AS BIGINT) AS pack_id
+            FROM c
         """,
         "q_map_fns": """
             SELECT user_id,
@@ -1190,14 +1296,6 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p ASOF LEFT JOIN clicks c
                  ON p.user_id = c.user_id AND c.ts <= p.ts
         """,
-        "q_asof_prior_click": """
-            SELECT user_id, event_id, prior_click FROM (
-                SELECT user_id, event_id, event_type,
-                       last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS)
-                           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click
-                FROM events) WHERE event_type = 'purchase'
-        """,
         "q_dedup_exact": """
             SELECT lang, count(*) AS docs, count(DISTINCT md5(text)) AS uniq_docs
             FROM documents GROUP BY lang
@@ -1209,18 +1307,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.ws, b.ws)) * 1.0
                   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7
         """,
-        # LSH candidates + exact verify == all pairs with exact word-
-        # 3-gram Jaccard >= 0.8 (banding miss ~2e-9/pair at r=3,b=28);
-        # the oracle is the quadratic ground truth the LSH approximates.
-        # Shingle construction mirrors dedup.word_shingles(n=3) exactly:
-        # unfiltered \\s+ split of lower(trim(text)), distinct 3-gram
-        # joins, one partial gram for docs shorter than 3 words.
-        "q_dedup_minhash": f"""
-            WITH {_MINHASH_SHINGLE_CTES}
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE {_MINHASH_JACCARD_PRED}
-        """,
+        "q_dedup_minhash_capped": _MINHASH_ORACLE_SQL,
         # connected components via recursive CTE: min reachable doc_id
         # over the same quadratic near-dup graph (undirected)
         "q_dedup_clusters": f"""
@@ -1346,7 +1433,47 @@ def oracle_sql() -> dict[str, str]:
         # q_multimodal_features (decode stub is env-limited),
         # q_approx_distinct (approximate by nature)
     }
-    # the cap never binds on this corpus (test-pinned), so the capped
-    # production mode shares the uncapped ground-truth oracle exactly
-    out["q_dedup_minhash_capped"] = out["q_dedup_minhash"]
     return out
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Near-twin queries rotated OFF the driver's 50-slot scoreboard in
+    round 5 to make room for sampling/chunking/packing (VERDICT r4 #1).
+    They remain fully implemented and exactly parity-checked in tests
+    (tests/test_entry.py runs them against retired_oracle_sql()):
+
+    - q_explode_words: explode + top-k word counts — the scoreboard
+      keeps the shapes via q_chunk_documents (explode/array fns) and
+      q_sort_limit (top-k);
+    - q_asof_prior_click: the windowed last-ignorenulls as-of impl,
+      cross-checked against q_asof_join's cogrouped-applyInPandas impl
+      (two independent implementations, one semantics);
+    - q_dedup_minhash: uncapped ground-truth minhash mode; the driver
+      slot keeps the production capped config, whose output — and
+      therefore oracle — is identical on this corpus (bucket cap pinned
+      non-binding by tests/test_dedup.py)."""
+    return {
+        "q_explode_words": q_explode_words,
+        "q_asof_prior_click": q_asof_prior_click,
+        "q_dedup_minhash": q_dedup_minhash,
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    return {
+        "q_explode_words": """
+            SELECT word, count(*) AS cnt FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+                FROM documents) WHERE word <> ''
+            GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 10
+        """,
+        "q_asof_prior_click": """
+            SELECT user_id, event_id, prior_click FROM (
+                SELECT user_id, event_id, event_type,
+                       last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click
+                FROM events) WHERE event_type = 'purchase'
+        """,
+        "q_dedup_minhash": _MINHASH_ORACLE_SQL,
+    }
