@@ -694,12 +694,22 @@ def q_pipeline_promoted(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
+    """REAL multimodal decode, value-level oracled (round 5): synth_media
+    emits genuine 24-bit BMP and RIFF/WAVE PCM16 payloads; the
+    mapInPandas stage parses them with pure-numpy decoders (header walk,
+    row padding, chunk scan) plus byte checksums for opaque video
+    containers.  The oracle is a VALUES literal of per-kind aggregates
+    computed at GENERATION time from the source arrays — if the
+    distributed decode mangles a single pixel byte or PCM sample, the
+    checksum hash fails.  (Compressed codecs stay env-stubbed: no
+    PIL/ffmpeg in this container.)"""
     media = mm.synth_media(spark, n=96)
-    feats = mm.extract_features(media)
+    feats = mm.extract_media_features(media)
     return feats.groupBy("kind").agg(
         F.count("*").alias("cnt"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.max(F.size("feature")).alias("feature_dim"),
+        F.sum("n_units").alias("total_units"),
+        F.sum("content_sum").alias("content_checksum"),
     )
 
 
@@ -1092,6 +1102,32 @@ _CHUNK_CTES = """t AS (
             )"""
 
 
+def _multimodal_oracle(n: int = 96, seed: int = 42) -> str:
+    """Per-kind aggregate ground truth as a VALUES literal — computed in
+    pure Python from the SOURCE arrays (before encoding), so the Spark
+    side's header parsing / padding / chunk-walk / Arrow binary path is
+    checked against independent numbers, not against the decoder."""
+    from logparse_spark.operators.multimodal import expected_media_features
+
+    agg: dict[str, list[int]] = {}
+    for t in expected_media_features(n, seed):
+        a = agg.setdefault(t["kind"], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += t["n_bytes"]
+        a[2] += t["n_units"]
+        a[3] += t["content_sum"]
+    values = ", ".join(
+        f"('{k}', {a[0]}, {a[1]}, {a[2]}, {a[3]})" for k, a in sorted(agg.items())
+    )
+    return f"""
+        SELECT kind, CAST(cnt AS BIGINT) AS cnt,
+               CAST(total_bytes AS BIGINT) AS total_bytes,
+               CAST(total_units AS BIGINT) AS total_units,
+               CAST(content_checksum AS BIGINT) AS content_checksum
+        FROM (VALUES {values}) AS t(kind, cnt, total_bytes, total_units, content_checksum)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "q_pricing_summary": """
@@ -1429,9 +1465,10 @@ def oracle_sql() -> dict[str, str]:
         """),
         "q_pipeline_promoted": _promoted_oracle(),
         "q_streaming_counts": _streaming_counts_oracle(),
-        # rows-only (legitimately non-SQL-checkable):
-        # q_multimodal_features (decode stub is env-limited),
-        # q_approx_distinct (approximate by nature)
+        # q_multimodal_features: value-level since r5 — generation-time
+        # ground truth as a VALUES literal (the one remaining rows-only
+        # query is q_approx_distinct, approximate by nature)
+        "q_multimodal_features": _multimodal_oracle(),
     }
     return out
 

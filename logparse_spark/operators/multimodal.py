@@ -1,22 +1,31 @@
-"""Multimodal column plumbing: image/audio/video as opaque `binary`
+"""Multimodal column processing: image/audio/video as opaque `binary`
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode kernels (PIL/librosa/ffmpeg) are NOT in this container, so
-the decode step is STUBBED: `deterministic_fake_features` derives
-features from a content hash (stable, testable), and `decode_image`
-raises NotImplementedError behind an import-try.  Everything Spark-side
-— schema, batch shape, partition sizing, UDF signature — is real and
-tested; swapping in a real kernel changes only the inner function.
+Decode kernels (round 5): REAL pure-numpy parsers for the two formats
+that need no external library — 24-bit uncompressed BMP (fixed 54-byte
+header, bottom-up BGR rows padded to 4 bytes) and RIFF/WAVE PCM16
+(chunk walk -> fmt/data).  `synth_media` generates genuine BMP/WAV
+payloads and records GENERATION-TIME ground-truth statistics from the
+source arrays, so the distributed decode path (header parse, row
+padding, chunk walk, Arrow binary transfer) is value-checked end-to-end
+— the driver oracle compares against numbers computed before encoding,
+not against the decoder itself.  Compressed codecs (png/jpeg/h264)
+would need PIL/ffmpeg, which are NOT in this container: `decode_image`
+still raises NotImplementedError for them, and video payloads are
+treated as opaque containers (byte checksum + metadata features).
 
 Scale notes: binary payloads dominate partition size — size partitions
 by bytes (spark.sql.files.maxPartitionBytes), keep metadata in typed
 columns so filters prune BEFORE the decode stage, and never collect
-binaries to the driver.
+binaries to the driver.  The decode itself is embarrassingly parallel:
+one mapInPandas stage, no shuffle, features come out as small typed
+columns.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -30,44 +39,239 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_DIM = 16
-FEATURES_SCHEMA = f"media_id string, kind string, n_bytes int, feature array<float>"
+FEATURES_SCHEMA = "media_id string, kind string, n_bytes int, feature array<float>"
+
+# typed decode features: width/height (image+video), sample_rate (audio),
+# n_units = pixels / samples / frames, content_sum = sum of decoded pixel
+# bytes / PCM samples / container bytes (an exact integer checksum)
+MEDIA_FEATURES_SCHEMA = (
+    "media_id string, kind string, n_bytes int, width int, height int, "
+    "sample_rate int, n_units bigint, content_sum bigint"
+)
 
 
-def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table exercising the real plumbing."""
-    rows = []
-    for i in range(n):
-        kind = ["image", "audio", "video"][i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
-        meta = {
-            "width": 64 + i % 512 if kind != "audio" else None,
-            "height": 64 + (i * 3) % 512 if kind != "audio" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "n_frames": 1 if kind == "image" else 25 * (1 + i % 10),
-            "codec": {"image": "png", "audio": "pcm16", "video": "h264"}[kind],
-        }
-        rows.append((f"m-{i:06d}", kind, bytearray(payload), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+# ---------------------------------------------------------------------------
+# pure-numpy codecs (public formats: BMP spec / RIFF WAVE spec)
+# ---------------------------------------------------------------------------
 
 
-def decode_image(payload: bytes):  # pragma: no cover - real kernel absent
-    """Real decode would go through PIL/turbojpeg; not in this image."""
+def encode_bmp(bgr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 BGR array as a 24-bit uncompressed BMP:
+    14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, rows stored
+    bottom-up, each padded to a 4-byte boundary."""
+    h, w, c = bgr.shape
+    if c != 3 or bgr.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8 BGR")
+    row = w * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up row order
+        body += bgr[r].tobytes() + b"\x00" * pad
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a 24-bit uncompressed BMP; returns width, height, n_pixels,
+    and the exact integer sum of all BGR pixel bytes (padding excluded)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    pixels = rows[::-1, :row]  # undo bottom-up storage, drop padding
+    return {
+        "width": w, "height": h, "n_pixels": w * h,
+        "pixel_sum": int(pixels.astype(np.int64).sum()),
+    }
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an int16 mono array as a canonical RIFF/WAVE PCM file."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Walk RIFF chunks; parse PCM16 mono fmt + data.  Returns
+    sample_rate, n_samples, and the exact integer sum of samples."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0)
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (PCM16 mono only)")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return {
+        "sample_rate": int(sample_rate), "n_samples": int(len(samples)),
+        "sample_sum": int(samples.astype(np.int64).sum()),
+    }
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload: real pure-numpy path for uncompressed
+    BMP; compressed codecs (png/jpeg) would need PIL/turbojpeg, which
+    are not in this container."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     try:
         from PIL import Image  # noqa: F401
-    except ImportError as e:
+    except ImportError as e:  # pragma: no cover - env limitation
         raise NotImplementedError(
-            "image decode kernel unavailable in this container; "
-            "plumbing is exercised via deterministic_fake_features"
+            "compressed image decode unavailable in this container "
+            "(no PIL); BMP payloads decode natively"
         ) from e
     raise NotImplementedError("wire PIL decode here when available")
 
 
-def deterministic_fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Stand-in 'feature extraction': content-hash-seeded unit vector.
+# ---------------------------------------------------------------------------
+# deterministic synthetic media with generation-time ground truth
+# ---------------------------------------------------------------------------
 
-    Deterministic in payload bytes -> tests can assert exact equality
-    across partitionings and re-runs.
+
+def _hash_stream(tag: str, n_bytes: int) -> np.ndarray:
+    """Deterministic uint8 stream: counter-mode sha256 expansion."""
+    blocks = []
+    for k in range((n_bytes + 31) // 32):
+        blocks.append(hashlib.sha256(f"{tag}:{k}".encode()).digest())
+    return np.frombuffer(b"".join(blocks)[:n_bytes], dtype=np.uint8)
+
+
+def synth_media_rows(n: int = 64, seed: int = 42) -> tuple[list, list[dict]]:
+    """Generate n deterministic media rows AND their ground-truth
+    features, computed from the SOURCE arrays before encoding — the
+    decode path is later checked against these, not against itself.
+    Returns (rows for MEDIA_SCHEMA, feature dicts per MEDIA_FEATURES_SCHEMA).
     """
+    rows, truths = [], []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        mid = f"m-{i:06d}"
+        if kind == "image":
+            w, h = 4 + i % 13, 3 + (i * 5) % 11
+            bgr = _hash_stream(f"{seed}:img:{i}", w * h * 3).reshape(h, w, 3)
+            payload = encode_bmp(bgr)
+            meta = {"width": w, "height": h, "sample_rate": None,
+                    "n_frames": 1, "codec": "bmp"}
+            truth = {"width": w, "height": h, "sample_rate": None,
+                     "n_units": w * h,
+                     "content_sum": int(bgr.astype(np.int64).sum())}
+        elif kind == "audio":
+            sr = 8000 * (1 + i % 3)
+            ns = 50 + (i * 7) % 200
+            samples = (
+                _hash_stream(f"{seed}:wav:{i}", ns * 2).view("<i2").astype(np.int16)
+            )
+            payload = encode_wav(samples, sr)
+            meta = {"width": None, "height": None, "sample_rate": sr,
+                    "n_frames": ns, "codec": "pcm16"}
+            truth = {"width": None, "height": None, "sample_rate": sr,
+                     "n_units": ns,
+                     "content_sum": int(samples.astype(np.int64).sum())}
+        else:  # opaque compressed container: metadata + byte checksum only
+            body = _hash_stream(f"{seed}:vid:{i}", 256 + (i * 37) % 512)
+            payload = body.tobytes()
+            w, h, nf = 64 + i % 512, 64 + (i * 3) % 512, 25 * (1 + i % 10)
+            meta = {"width": w, "height": h, "sample_rate": None,
+                    "n_frames": nf, "codec": "h264"}
+            truth = {"width": w, "height": h, "sample_rate": None,
+                     "n_units": nf,
+                     "content_sum": int(body.astype(np.int64).sum())}
+        rows.append((mid, kind, bytearray(payload), meta))
+        truths.append({"media_id": mid, "kind": kind,
+                       "n_bytes": len(payload), **truth})
+    return rows, truths
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic media table with REAL BMP/WAV payloads."""
+    rows, _ = synth_media_rows(n, seed)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def expected_media_features(n: int = 64, seed: int = 42) -> list[dict]:
+    """Ground-truth per-row features (pure Python, no Spark) — the
+    oracle side of extract_media_features."""
+    _, truths = synth_media_rows(n, seed)
+    return truths
+
+
+# ---------------------------------------------------------------------------
+# distributed extraction
+# ---------------------------------------------------------------------------
+
+
+def decode_media_row(kind: str, payload: bytes, meta) -> dict:
+    """Per-row typed decode (the kernel inside extract_media_features)."""
+    if kind == "image":
+        d = decode_bmp(bytes(payload))
+        return {"width": d["width"], "height": d["height"], "sample_rate": None,
+                "n_units": d["n_pixels"], "content_sum": d["pixel_sum"]}
+    if kind == "audio":
+        d = decode_wav(bytes(payload))
+        return {"width": None, "height": None, "sample_rate": d["sample_rate"],
+                "n_units": d["n_samples"], "content_sum": d["sample_sum"]}
+    # opaque container: typed metadata + exact byte checksum (no codec dep)
+    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+    return {"width": meta["width"], "height": meta["height"], "sample_rate": None,
+            "n_units": int(meta["n_frames"]),
+            "content_sum": int(arr.astype(np.int64).sum())}
+
+
+def extract_media_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """mapInPandas typed decode over binary payloads: REAL BMP/WAV
+    parsing (numpy), opaque-container checksums for compressed video.
+    Map-only — no shuffle; output is small typed columns, the binary
+    never moves past this stage."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = [
+                decode_media_row(k, p, m)
+                for k, p, m in zip(pdf["kind"], pdf["payload"], pdf["meta"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "kind", pdf["kind"].values)
+            out.insert(2, "n_bytes", pdf["payload"].map(len).astype("int32").values)
+            yield out
+
+    return media.mapInPandas(fn, MEDIA_FEATURES_SCHEMA)
+
+
+def deterministic_fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Stand-in embedding 'feature extraction': content-hash-seeded unit
+    vector (deterministic in payload bytes; partitioning-independent).
+    Kept alongside the real typed decode for the ANN-style plumbing."""
     h = hashlib.sha256(payload).digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
     v = (raw.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
@@ -76,12 +280,8 @@ def deterministic_fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.nd
 
 
 def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads.
-
-    The Arrow batch carries raw bytes zero-copy-ish; per batch we loop
-    payloads in C-level hash calls (the real kernel would be a
-    vectorized decode library call here).
-    """
+    """mapInPandas hash-embedding extraction over binary payloads (the
+    vector-feature sibling of extract_media_features)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -105,8 +305,9 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per kept frame
-    index — pure SQL explode of the frame index sequence; the (stubbed)
-    per-frame decode would hang off the exploded rows."""
+    index — pure SQL explode of the frame index sequence; the per-frame
+    decode (env-blocked for compressed codecs) would hang off the
+    exploded rows."""
     return (
         media.where(F.col("kind") == "video")
         .select(
@@ -120,7 +321,8 @@ def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
 
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Typed resize arithmetic (scale factors) — metadata-only, prunable;
-    the pixel work is the stubbed kernel."""
+    the pixel work would use the BMP decode above (or PIL for
+    compressed codecs)."""
     w, h = F.col("meta.width"), F.col("meta.height")
     scale = F.when(
         F.greatest(w, h) > max_side, max_side / F.greatest(w, h)

@@ -17,9 +17,57 @@ def test_extract_features_shape_and_determinism(spark):
     assert a == b  # partitioning-independent
 
 
-def test_decode_stub_raises():
+def test_decode_stub_raises_for_compressed_codecs():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG fake")
+
+
+def test_bmp_roundtrip():
+    import numpy as np
+
+    rng_bytes = mm._hash_stream("t:bmp", 7 * 5 * 3)
+    bgr = rng_bytes.reshape(5, 7, 3)
+    payload = mm.encode_bmp(bgr)
+    d = mm.decode_bmp(payload)
+    assert (d["width"], d["height"], d["n_pixels"]) == (7, 5, 35)
+    assert d["pixel_sum"] == int(bgr.astype(np.int64).sum())
+    # width 7 -> row 21 bytes -> 3 pad bytes/row; header 54
+    assert len(payload) == 54 + (21 + 3) * 5
+    # decode_image dispatches BMP natively
+    assert mm.decode_image(payload) == d
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    samples = mm._hash_stream("t:wav", 100 * 2).view("<i2").astype(np.int16)
+    payload = mm.encode_wav(samples, 16000)
+    d = mm.decode_wav(payload)
+    assert d["sample_rate"] == 16000 and d["n_samples"] == 100
+    assert d["sample_sum"] == int(samples.astype(np.int64).sum())
+
+
+def test_codec_rejects_malformed():
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"XX not a bmp")
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_extract_media_features_matches_generation_truth(spark):
+    """The distributed decode must reproduce the GENERATION-TIME ground
+    truth (computed from source arrays before encoding) byte-exactly,
+    across partitionings — the in-test twin of the driver oracle."""
+    media = mm.synth_media(spark, n=33)
+    want = {t["media_id"]: t for t in mm.expected_media_features(33)}
+    for df in (media, media.repartition(7)):
+        got = {r["media_id"]: r for r in mm.extract_media_features(df).collect()}
+        assert set(got) == set(want)
+        for mid, t in want.items():
+            r = got[mid]
+            for k in ("kind", "n_bytes", "width", "height", "sample_rate",
+                      "n_units", "content_sum"):
+                assert r[k] == t[k], (mid, k, r[k], t[k])
 
 
 def test_frame_sampling(spark):
