@@ -56,18 +56,36 @@ def _sstable(r: random.Random) -> str:
     return f"/data/{ks}/{t}/{ks}-{t}-jb-{r.randint(1, 999)}"
 
 
-# (weight, emitting class, thread pool, level policy, message_fn)
-# Templates MUST stay in lockstep with rulebook.RULES regexes.
+# Version-family tags (approximate, public-knowledge line provenance):
+# coarse release eras a given line SHAPE plausibly appears in.  "dse"
+# rides the 2.1-era core (DSE 4.x) plus the Solr-only classes.  Used
+# only by the versioned datagen mode; untagged templates are era-stable
+# shapes emitted by every family.
+_ALL = ("1.2", "2.0", "2.1", "3.x", "dse")
+_OLD = ("1.2", "2.0")                    # pre-2.1 formats
+_PRE3 = ("1.2", "2.0", "2.1", "dse")     # dropped/reworded in 3.x
+_MID = ("2.1", "dse")                    # 2.1-era introductions
+_MIDNEW = ("2.1", "3.x", "dse")          # 2.1+ (incl. 2.2 era)
+_NEW = ("3.x",)                          # 3.x renames / new subsystems
+_DSE = ("dse",)                          # Solr / DSE-only classes
+VERSION_FAMILIES = _ALL
+
+
+# (weight, emitting class, thread pool, level policy, message_fn[, versions])
+# Templates MUST stay in lockstep with rulebook.RULES regexes.  Order,
+# weights, and lambdas are FROZEN (the default corpus must regenerate
+# bit-identically); the optional trailing element only gates the
+# versioned mode.
 def _templates():
     return [
         (0.18, "GCInspector", "ScheduledTasks:1", None, lambda r: (
             f"GC for {r.choice(_GC_TYPES)}: {r.randint(50, 900)} ms for "
             f"{r.randint(1, 3)} collections, {r.randint(10**8, 8 * 10**9)} used; "
-            f"max is {r.choice([8000634880, 4000317440])}")),
+            f"max is {r.choice([8000634880, 4000317440])}"), _OLD),
         (0.05, "GCInspector", "Service Thread", None, lambda r: (
             f"{r.choice(_GC_TYPES)} GC in {r.randint(100, 600)}ms.  CMS Old Gen: "
             f"{r.randint(10**8, 5 * 10**9)} -> {r.randint(10**8, 5 * 10**9)}; "
-            f"Par Eden Space: {r.randint(0, 7 * 10**8)} -> {r.randint(0, 10**6)}")),
+            f"Par Eden Space: {r.randint(0, 7 * 10**8)} -> {r.randint(0, 10**6)}"), _MID),
         (0.08, "CompactionTask", "CompactionExecutor:4", None, lambda r: (
             "Compacting [" + ", ".join(
                 f"SSTableReader(path='{_sstable(r)}-Data.db')"
@@ -82,17 +100,17 @@ def _templates():
         (0.07, "ColumnFamilyStore", "FlushWriter:2", None, lambda r: (
             f"Enqueuing flush of Memtable-{r.choice(_TABLES)}@{r.randint(10**8, 2 * 10**9)}"
             f"({r.randint(100, 10**7)}/{r.randint(100, 10**7)} serialized/live bytes, "
-            f"{r.randint(1, 10**5)} ops)")),
+            f"{r.randint(1, 10**5)} ops)"), _PRE3),
         (0.07, "Memtable", "FlushWriter:2", None, lambda r: (
             f"Writing Memtable-{r.choice(_TABLES)}@{r.randint(10**8, 2 * 10**9)}"
             f"({r.randint(0, 10**7)}/{r.randint(0, 10**7)} serialized/live bytes, "
-            f"{r.randint(1, 10**5)} ops)")),
+            f"{r.randint(1, 10**5)} ops)"), _PRE3),
         (0.07, "Memtable", "FlushWriter:2", None, lambda r: (
             f"Completed flushing {_sstable(r)}-Data.db ({r.randint(42, 10**8)} bytes) "
             f"for commitlog position ReplayPosition(segmentId={r.randint(10**12, 2 * 10**12)}, "
-            f"position={r.randint(0, 10**7)})")),
+            f"position={r.randint(0, 10**7)})"), _PRE3),
         (0.05, "MessagingService", "ScheduledTasks:1", "WARN", lambda r: (
-            f"{r.randint(1, 5000)} {r.choice(_MSG_TYPES)} messages dropped in last 5000ms")),
+            f"{r.randint(1, 5000)} {r.choice(_MSG_TYPES)} messages dropped in last 5000ms"), _PRE3),
         (0.06, "Gossiper", "GossipStage:1", None, lambda r: (
             f"InetAddress /{_ip(r)} is now {r.choice(['UP', 'DOWN'])}")),
         (0.01, "Gossiper", "GossipStage:1", None, lambda r: (
@@ -108,7 +126,7 @@ def _templates():
         (0.03, "OutboundTcpConnection", "WRITE-/10.1.2.3", None, lambda r: (
             f"Handshaking version with /{_ip(r)}")),
         (0.02, "HintedHandOffManager", "HintedHandoff:1", None, lambda r: (
-            f"Finished hinted handoff of {r.randint(1, 99999)} rows to endpoint /{_ip(r)}")),
+            f"Finished hinted handoff of {r.randint(1, 99999)} rows to endpoint /{_ip(r)}"), _PRE3),
         (0.03, "SSTableReader", "main", None, lambda r: (
             f"Opening {_sstable(r)} ({r.randint(100, 10**9)} bytes)")),
         (0.01, "CommitLogReplayer", "main", None, lambda r: (
@@ -122,7 +140,7 @@ def _templates():
             (lambda sz, thr: f"Batch of prepared statements for "
              f"[{r.choice(_KEYSPACES)}.{r.choice(_TABLES)}] is of size {sz}, "
              f"exceeding specified threshold of {thr} by {sz - thr}.")
-            (r.randint(5200, 99999), 5120))),
+            (r.randint(5200, 99999), 5120)), ("2.0", "2.1", "3.x", "dse")),
         (0.02, "CassandraDaemon", "ReadStage:32", "ERROR", lambda r: (
             f"Exception in thread Thread[ReadStage:{r.randint(1, 64)},5,main]")),
         (0.03, None, "main", None, lambda r: (  # unknown class -> unknown sink
@@ -131,35 +149,35 @@ def _templates():
         (0.01, "GCInspector", "Service Thread", None, lambda r: (
             f"G1 Young Generation GC in {r.randint(100, 500)}ms.  G1 Eden Space: "
             f"{r.randint(10**8, 4 * 10**9)} -> 0; G1 Old Gen: "
-            f"{r.randint(10**8, 10**9)} -> {r.randint(10**8, 10**9)};")),
+            f"{r.randint(10**8, 10**9)} -> {r.randint(10**8, 10**9)};"), _MIDNEW),
         (0.01, "StatusLogger", "ScheduledTasks:1", None, lambda r: (
             "Pool Name                    Active   Pending      Completed   "
             "Blocked  All Time Blocked")),
         (0.02, "Memtable", "MemtableFlushWriter:3", None, lambda r: (
             f"Writing Memtable-{r.choice(_TABLES)}@{r.randint(10**8, 2 * 10**9)}"
             f"({r.uniform(0.1, 900.0):.3f}KiB serialized bytes, {r.randint(1, 10**5)} ops, "
-            f"{r.randint(0, 40)}%/{r.randint(0, 10)}% of on/off-heap limit)")),
+            f"{r.randint(0, 40)}%/{r.randint(0, 10)}% of on/off-heap limit)"), _MIDNEW),
         (0.02, "SliceQueryFilter", "ReadStage:12", "WARN", lambda r: (
             f"Read {r.randint(100, 5000)} live and {r.randint(1000, 99999)} tombstone "
             f"cells in {r.choice(_KEYSPACES)}.{r.choice(_TABLES)} for key: "
             f"user{r.randint(1, 9999)} (see tombstone_warn_threshold). "
-            f"{r.randint(100, 10000)} columns were requested, slices=[-]")),
+            f"{r.randint(100, 10000)} columns were requested, slices=[-]"), ("2.0", "2.1", "dse")),
         (0.01, "ReadCommand", "ReadStage-2", "WARN", lambda r: (
             f"Read {r.randint(1, 999)} live rows and {r.randint(1001, 99999)} tombstone "
             f"cells for query SELECT * FROM {r.choice(_KEYSPACES)}.{r.choice(_TABLES)} "
-            f"LIMIT {r.randint(10, 5000)} (see tombstone_warn_threshold)")),
+            f"LIMIT {r.randint(10, 5000)} (see tombstone_warn_threshold)"), _NEW),
         (0.02, "StreamResultFuture", "STREAM-IN-/10.0.1.5", None, lambda r: (
             f"[Stream #{r.randint(10**7, 9 * 10**7):x}-{r.randint(1000, 9999):x}] "
-            f"Session with /{_ip(r)} is complete")),
+            f"Session with /{_ip(r)} is complete"), _MIDNEW),
         (0.01, "StreamSession", "STREAM-OUT-/10.0.1.6", None, lambda r: (
             f"[Stream #{r.randint(10**7, 9 * 10**7):x}-{r.randint(1000, 9999):x}] "
-            f"Starting streaming to /{_ip(r)}")),
+            f"Starting streaming to /{_ip(r)}"), _MIDNEW),
         (0.02, "RepairSession", "AntiEntropySessions:3", None, lambda r: (
             f"[repair #{r.randint(10**7, 9 * 10**7):x}-{r.randint(1000, 9999):x}] "
             f"Received merkle tree for {r.choice(_TABLES)} from /{_ip(r)}")),
         (0.01, "HintsDispatchExecutor", "HintsDispatcher:2", None, lambda r: (
             f"Finished hinted handoff of file {r.randint(10**7, 9 * 10**7):x}-1.hints "
-            f"to endpoint /{_ip(r)}: {r.randint(10**7, 9 * 10**7):x}")),
+            f"to endpoint /{_ip(r)}: {r.randint(10**7, 9 * 10**7):x}"), _NEW),
         (0.01, "CacheService", "main", None, lambda r: (
             f"Initializing {r.choice(['key', 'row', 'counter'])} cache with capacity "
             f"of {r.randint(10, 512)} MBs.")),
@@ -167,37 +185,37 @@ def _templates():
             f"Drop table '{r.choice(_KEYSPACES)}/{r.choice(_TABLES)}'")),
         (0.01, "NoSpamLogger", "SharedPool-Worker-1", "WARN", lambda r: (
             f"Maximum memory usage reached ({r.randint(128, 1024)}.000MiB), "
-            f"cannot allocate chunk of 1.000MiB")),
+            f"cannot allocate chunk of 1.000MiB"), _NEW),
         # --- round-3 rule families (batches 5/6 exercised E2E) --------------
         (0.004, "Differencer", "AntiEntropyStage:1", None, lambda r: (
             f"[repair #{r.randint(10**7, 9 * 10**7):x}-{r.randint(1000, 9999):x}] "
-            f"Endpoints /{_ip(r)} and /{_ip(r)} are consistent for {r.choice(_TABLES)}")),
+            f"Endpoints /{_ip(r)} and /{_ip(r)} are consistent for {r.choice(_TABLES)}"), _PRE3),
         (0.003, "RepairSession", "AntiEntropySessions:2", None, lambda r: (
             f"[repair #{r.randint(10**7, 9 * 10**7):x}-{r.randint(1000, 9999):x}] "
             f"Requesting merkle trees for {r.choice(_TABLES)} "
             f"(to [/{_ip(r)}, /{_ip(r)}])")),
         (0.002, "StartupChecks", "main", "WARN", lambda r: (
             "JMX is not enabled to receive remote connections. "
-            "Please see cassandra-env.sh for more info.")),
-        (0.002, "NativeLibrary", "main", None, lambda r: "JNA mlockall successful"),
+            "Please see cassandra-env.sh for more info."), _MIDNEW),
+        (0.002, "NativeLibrary", "main", None, lambda r: "JNA mlockall successful", _NEW),
         (0.002, "Ref", "Reference-Reaper:1", "ERROR", lambda r: (
             f"LEAK DETECTED: a reference (org.apache.cassandra.utils.concurrent."
             f"Ref$State@{r.randint(10**7, 9 * 10**7):x}) to class org.apache."
             f"cassandra.io.sstable.format.SSTableReader$InstanceTidier@"
             f"{r.randint(10**8, 2 * 10**9)}:{_sstable(r)} was not released "
-            f"before the reference was garbage collected")),
+            f"before the reference was garbage collected"), _MIDNEW),
         (0.003, "Message", "Native-Transport-Requests:7", "ERROR", lambda r: (
             f"Unexpected exception during request; channel = [id: 0x{r.randint(10**7, 9 * 10**7):08x}, "
-            f"/{_ip(r)}:{r.randint(30000, 60000)} => /{_ip(r)}:9042]")),
+            f"/{_ip(r)}:{r.randint(30000, 60000)} => /{_ip(r)}:9042]"), _MIDNEW),
         (0.003, "SolrCore", "qtp1234-56", None, lambda r: (
             f"[{r.choice(_KEYSPACES)}.{r.choice(_TABLES)}] Registered new searcher "
             f"Searcher@{r.randint(10**7, 9 * 10**7):x}[{r.choice(_KEYSPACES)}."
             f"{r.choice(_TABLES)}] main{{StandardDirectoryReader(segments_2:"
-            f"{r.randint(1, 99)}:nrt)}}")),
+            f"{r.randint(1, 99)}:nrt)}}"), _DSE),
         (0.004, "GCInspector", "ScheduledTasks:1", None, lambda r: (
             f"GC for {r.choice(_GC_TYPES)}: {r.randint(50, 900)} ms, "
             f"{r.randint(10**7, 10**9)} reclaimed leaving {r.randint(10**8, 8 * 10**9)} "
-            f"used; max is {r.choice([8000634880, 4000317440])}")),
+            f"used; max is {r.choice([8000634880, 4000317440])}"), _NEW),
         (0.002, "Scrubber", "CompactionExecutor:9", None, lambda r: (
             f"Scrubbing SSTableReader(path='{_sstable(r)}-Data.db') "
             f"({r.randint(100, 10**9)} bytes)")),
@@ -210,36 +228,36 @@ def _templates():
             f"Generated random tokens. tokens are [{', '.join(str(r.randint(-2**63, 2**63 - 1)) for _ in range(3))}]")),
         (0.002, "CompactionStrategyManager", "CompactionExecutor:3", None, lambda r: (
             f"Recreating compaction strategy - disk boundaries are out of date "
-            f"for {r.choice(_KEYSPACES)}.{r.choice(_TABLES)}.")),
+            f"for {r.choice(_KEYSPACES)}.{r.choice(_TABLES)}."), _NEW),
         (0.002, "SolrCoreResourceManager", "coreLoadExecutor-5-thread-1", None, lambda r: (
             f"Trying to load resource schema.xml for core "
             f"{r.choice(_KEYSPACES)}.{r.choice(_TABLES)} by querying from "
-            f"local node with CL {r.choice(['QUORUM', 'ONE'])}")),
+            f"local node with CL {r.choice(['QUORUM', 'ONE'])}"), _DSE),
         (0.002, "Memtable", "FlushWriter:2", None, lambda r: (
-            f"Completed flushing {_sstable(r)}-Data.db ({r.randint(10**3, 10**8)} bytes)")),
+            f"Completed flushing {_sstable(r)}-Data.db ({r.randint(10**3, 10**8)} bytes)"), _NEW),
         (0.002, "RequestHandlers", "coreLoadExecutor-5-thread-1", None, lambda r: (
             f"created {r.choice(['/select', '/update', '/admin/luke'])}: "
-            f"solr.{r.choice(['SearchHandler', 'UpdateRequestHandler'])}")),
+            f"solr.{r.choice(['SearchHandler', 'UpdateRequestHandler'])}"), _DSE),
         # --- batch 9 rule families exercised E2E --------------------------
         (0.002, "CassandraDaemon", "main", None, lambda r: (
             f"Scheduling approximate time-check task with a precision of "
-            f"{r.choice([10, 2])} milliseconds")),
+            f"{r.choice([10, 2])} milliseconds"), _NEW),
         (0.002, "CassandraDaemon", "main", None, lambda r: (
             f"completed pre-loading ({r.randint(1, 10**5)} keys) key cache.")),
         (0.002, "NativeTransportService", "main", None, lambda r: (
-            f"Netty using {r.choice(['native Epoll event loop', 'Java NIO event loop'])}")),
+            f"Netty using {r.choice(['native Epoll event loop', 'Java NIO event loop'])}"), _NEW),
         (0.002, "MessagingService", "ScheduledTasks:1", "INFO", lambda r: (
             f"{r.choice(_MSG_TYPES)} messages were dropped in last 5000 ms: "
-            f"{r.randint(0, 99)} internal and {r.randint(0, 99)} cross node")),
+            f"{r.randint(0, 99)} internal and {r.randint(0, 99)} cross node"), _NEW),
         (0.002, "QueryProcessor", "main", None, lambda r: (
             f"Initialized prepared statement caches with {r.randint(8, 64)} MB "
-            f"(native) and {r.randint(8, 64)} MB (Thrift)")),
+            f"(native) and {r.randint(8, 64)} MB (Thrift)"), _NEW),
         (0.002, "StorageService", "main", None, lambda r: (
-            "Starting shadow gossip round to check for endpoint collision")),
+            "Starting shadow gossip round to check for endpoint collision"), _NEW),
         (0.002, "SolrDeletionPolicy", "coreLoadExecutor-5-thread-1", None, lambda r: (
-            f"SolrDeletionPolicy.onInit: commits: num={r.randint(1, 9)}")),
+            f"SolrDeletionPolicy.onInit: commits: num={r.randint(1, 9)}"), _DSE),
         (0.002, "IndexSchema", "coreLoadExecutor-5-thread-1", None, lambda r: (
-            f"unique key field: {r.choice(['id', 'key', 'uuid'])}")),
+            f"unique key field: {r.choice(['id', 'key', 'uuid'])}"), _DSE),
     ]
 
 
@@ -247,13 +265,70 @@ _TEMPLATES = _templates()
 _TPL_CDF = np.cumsum(np.array([w for w, *_ in _TEMPLATES]) / sum(w for w, *_ in _TEMPLATES))
 
 
-def make_event(rid: int, seed: int = 42) -> tuple[str, list[int], int, str]:
-    """One deterministic `sequences` row for global row id `rid`."""
+def _tpl_versions(t) -> tuple[str, ...]:
+    return t[5] if len(t) > 5 else _ALL
+
+
+# per-family template index lists + renormalized CDFs (versioned mode)
+_TPL_IDX_BY_FAMILY = {
+    fam: [i for i, t in enumerate(_TEMPLATES) if fam in _tpl_versions(t)]
+    for fam in VERSION_FAMILIES
+}
+_TPL_FAMILY_CDF = {
+    fam: np.cumsum(np.array([_TEMPLATES[i][0] for i in idxs])
+                   / sum(_TEMPLATES[i][0] for i in idxs))
+    for fam, idxs in _TPL_IDX_BY_FAMILY.items()
+}
+
+# realistic mixed-cluster version skew (a fleet mid-upgrade): most nodes
+# on 2.1/3.x, a long 2.0 tail, a few stragglers and DSE nodes
+DEFAULT_VERSION_MIX = {"1.2": 0.05, "2.0": 0.25, "2.1": 0.30, "3.x": 0.30,
+                       "dse": 0.10}
+
+
+def source_version_family(src_i: int, seed: int = 42) -> str:
+    """Deterministic version family for a source node (a node runs ONE
+    version — the realistic mixed-cluster shape, and the same pinning a
+    nodes_dim enrich join would expose).  Golden-ratio low-discrepancy
+    sequence instead of an independent draw per node: a 50-node fleet
+    then hits every family at ~its mix proportion (an iid draw leaves a
+    5%-weight family empty ~8% of the time)."""
+    u = (random.Random(seed).random() + src_i * 0.6180339887498949) % 1.0
+    acc = 0.0
+    for fam, wgt in DEFAULT_VERSION_MIX.items():
+        acc += wgt
+        if u < acc:
+            return fam
+    return "3.x"
+
+
+def make_event(
+    rid: int, seed: int = 42, version: str | None = None,
+    versioned: bool = False,
+) -> tuple[str, list[int], int, str]:
+    """One deterministic `sequences` row for global row id `rid`.
+
+    Default mode (version=None, versioned=False) is FROZEN — it must
+    regenerate historical corpora bit-identically.  The versioned mode
+    (explicit `version`, or `versioned=True` for per-source family
+    pinning) draws only from that family's template subset and uses the
+    family's header format — a corpus whose line-shape mix the rulebook
+    was NOT grown in lockstep with (COVERAGE.md reports per-family
+    match rates)."""
     r = random.Random((seed << 34) ^ (rid * 0x9E3779B9))
     src_i = int(np.searchsorted(_ZIPF_CDF, r.random(), side="right"))
     source = f"node-{min(src_i, N_SOURCES - 1):03d}"
-    tpl_i = int(np.searchsorted(_TPL_CDF, r.random(), side="right"))
-    _, cls, thread, level_fixed, msg_fn = _TEMPLATES[min(tpl_i, len(_TEMPLATES) - 1)]
+    if version is None and versioned:
+        version = source_version_family(min(src_i, N_SOURCES - 1), seed)
+    tpl_rand = r.random()
+    if version is None:
+        tpl = _TEMPLATES[min(int(np.searchsorted(_TPL_CDF, tpl_rand, side="right")),
+                             len(_TEMPLATES) - 1)]
+    else:
+        idxs = _TPL_IDX_BY_FAMILY[version]
+        j = int(np.searchsorted(_TPL_FAMILY_CDF[version], tpl_rand, side="right"))
+        tpl = _TEMPLATES[idxs[min(j, len(idxs) - 1)]]
+    _, cls, thread, level_fixed, msg_fn = tpl[:5]
     if cls is None:
         cls = r.choice(_UNKNOWN_CLASSES)
     message = msg_fn(r)
@@ -265,9 +340,13 @@ def make_event(rid: int, seed: int = 42) -> tuple[str, list[int], int, str]:
     ts = BASE_TS + timedelta(seconds=rid % (30 * 86400), milliseconds=r.randint(0, 999))
     date = ts.strftime("%Y-%m-%d %H:%M:%S,") + f"{ts.microsecond // 1000:03d}"
     line_no = r.randint(40, 999)
-    if r.random() < 0.70:  # Cassandra 2.0 format
+    if version is None:
+        use_old = r.random() < 0.70  # historical 70/30 header mix
+    else:
+        use_old = version in _OLD  # header format follows the version
+    if use_old:  # Cassandra 1.2/2.0 format
         text = f"{level} [{thread}] {date} {cls}.java (line {line_no}) {message}"
-    else:  # 2.1 format
+    else:  # 2.1+ format
         text = f"{level} [{thread}] {date} {cls}.java:{line_no} - {message}"
     is_exception = message.startswith("Exception in thread")
     if is_exception or r.random() < 0.02:
@@ -280,21 +359,27 @@ def make_event(rid: int, seed: int = 42) -> tuple[str, list[int], int, str]:
     return f"{source}-{rid:012d}", tokens, len(tokens), source
 
 
-def generate_pdf(ids, seed: int = 42) -> pd.DataFrame:
-    rows = [make_event(int(i), seed) for i in ids]
+def generate_pdf(ids, seed: int = 42, version: str | None = None,
+                 versioned: bool = False) -> pd.DataFrame:
+    rows = [make_event(int(i), seed, version, versioned) for i in ids]
     return pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source"])
 
 
 def generate_sequences(
-    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None,
+    version: str | None = None, versioned: bool = False,
 ) -> DataFrame:
-    """Distributed generation: deterministic regardless of partitioning."""
+    """Distributed generation: deterministic regardless of partitioning.
+
+    `version` forces every row into one version family;
+    `versioned=True` pins a deterministic family per source node
+    (DEFAULT_VERSION_MIX skew) — the mixed-version cluster corpus."""
     partitions = partitions or spark.sparkContext.defaultParallelism
 
     def fn(batches):
         for pdf in batches:
             if len(pdf):
-                yield generate_pdf(pdf["id"].to_numpy(), seed)
+                yield generate_pdf(pdf["id"].to_numpy(), seed, version, versioned)
 
     return spark.range(0, n, 1, partitions).mapInPandas(fn, SEQUENCES_SCHEMA)
 

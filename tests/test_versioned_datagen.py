@@ -1,0 +1,105 @@
+"""Mixed-version corpus realism (VERDICT r4 #6): the rulebook's breadth
+is exercised against per-version-family corpora whose template mix and
+header formats it was NOT grown in lockstep with.  Pure-Python tests
+(datagen + oracle), no Spark session needed."""
+
+import zlib
+
+from logparse_spark.oracle import parse_event
+from logparse_spark.sources.datagen import (
+    DEFAULT_VERSION_MIX,
+    VERSION_FAMILIES,
+    _TPL_IDX_BY_FAMILY,
+    make_event,
+    source_version_family,
+)
+
+_UNKNOWN = {"FooBarService", "QuantumFlux", "MysteryModule"}
+
+
+def _families_of(ev) -> str:
+    return (ev["source_file"] or "").replace(".java", "")
+
+
+def test_default_mode_is_frozen():
+    """The default corpus must regenerate bit-identically forever —
+    oracle caches, bench corpora, and cross-round comparability all
+    assume it.  This crc matches the r4 cached oracle parquet
+    (data/oracle_corpus_2000_42_8e646416.parquet)."""
+    fp = 0
+    for i in range(2000):
+        fp = zlib.crc32(bytes(make_event(i, 42)[1]), fp)
+    assert f"{fp:08x}" == "8e646416"
+
+
+def test_every_family_has_substantial_template_pool():
+    for fam, idxs in _TPL_IDX_BY_FAMILY.items():
+        assert len(idxs) >= 30, (fam, len(idxs))
+
+
+def test_per_family_match_rate_and_no_rulebook_misses():
+    """Per version family: every known-class line must match a rule
+    (missed-by-rulebook == 0) and the overall match rate stays >= 0.94
+    (the gap is exactly the by-design unknown-class template, whose
+    renormalized weight varies per family)."""
+    n = 1500
+    for fam in VERSION_FAMILIES:
+        missed, unknown_by_design, matched = [], 0, 0
+        for i in range(n):
+            d, toks, _, src = make_event(i, 42, version=fam)
+            ev = parse_event(d, toks, src)
+            if ev["rule_id"] != -1:
+                matched += 1
+            elif _families_of(ev) in _UNKNOWN:
+                unknown_by_design += 1
+            else:
+                missed.append(ev["message"])
+        assert not missed, (fam, missed[:3])
+        assert matched / n >= 0.94, (fam, matched / n)
+        assert matched + unknown_by_design == n
+
+
+def test_header_format_follows_family():
+    for fam in ("1.2", "2.0"):
+        for i in range(200):
+            text = bytes(make_event(i, 42, version=fam)[1]).decode()
+            assert " (line " in text.split("\n")[0], (fam, text)
+    for fam in ("2.1", "3.x", "dse"):
+        for i in range(200):
+            text = bytes(make_event(i, 42, version=fam)[1]).decode()
+            first = text.split("\n")[0]
+            assert " (line " not in first and ".java:" in first, (fam, text)
+
+
+def test_family_exclusive_classes_do_not_leak():
+    """Solr classes are DSE-only; 3.x renames (NativeTransportService)
+    never show up in older families; 3.x never emits the pre-3 flush
+    wording."""
+    solr = {"SolrCore", "SolrCoreResourceManager", "SolrDeletionPolicy",
+            "IndexSchema", "RequestHandlers"}
+    seen: dict[str, set] = {}
+    for fam in VERSION_FAMILIES:
+        classes = set()
+        for i in range(3000):
+            d, toks, _, src = make_event(i, 42, version=fam)
+            first = bytes(toks).decode().split("\n")[0]
+            # class name sits before ".java" in both header formats
+            classes.add(first.split(".java")[0].rsplit(" ", 1)[-1])
+        seen[fam] = classes
+    for fam in ("1.2", "2.0", "2.1", "3.x"):
+        assert not (seen[fam] & solr), (fam, seen[fam] & solr)
+    assert solr <= seen["dse"]
+    for fam in ("1.2", "2.0", "2.1", "dse"):
+        assert "NativeTransportService" not in seen[fam], fam
+    assert "NativeTransportService" in seen["3.x"]
+    assert "HintedHandOffManager" not in seen["3.x"]
+    assert "HintsDispatchExecutor" in seen["3.x"]
+
+
+def test_versioned_mode_pins_family_per_source_deterministically():
+    a = [make_event(i, 42, versioned=True) for i in range(500)]
+    b = [make_event(i, 42, versioned=True) for i in range(500)]
+    assert a == b
+    fams = {source_version_family(s) for s in range(50)}
+    assert fams == set(VERSION_FAMILIES)  # the 50-node fleet spans all eras
+    assert abs(sum(DEFAULT_VERSION_MIX.values()) - 1.0) < 1e-9
