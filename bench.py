@@ -221,7 +221,7 @@ def default_bench(runs: int = 3) -> dict:
 
 
 def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
-                  mode: str = "disk") -> dict:
+                  mode: str = "disk", floor_rows: int | None = 20_000) -> dict:
     """Same job, same input, several parallelism levels -> scaling
     efficiency for every 4x core pair (the N vs 4N executor proxy).
 
@@ -237,6 +237,15 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
     on /dev/shm — the COMPUTE-ONLY leg that removes the one shared disk
     from the picture, isolating how the pipeline itself scales (the
     host memory-bandwidth band is then the ceiling, not the spindle).
+
+    Floor decomposition: per leg, the same warm session also times the
+    pipeline on a tiny `floor_rows` corpus — almost pure per-run fixed
+    cost (driver planning, scheduling, commit protocol, manifest/ledger
+    writes) that does NOT shrink with cores or grow with input.
+    `efficiencies_floor_subtracted` reports how the data-proportional
+    part scales once that measured floor is removed — the adjustment a
+    100 TB input performs physically (a 30 s sandbox run is ~20% fixed
+    floor; a one-hour production run is ~0%).
     """
     import shutil as _sh
 
@@ -246,6 +255,7 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
     # materialize once with a neutral session
     s0 = get_spark(app_name="bench-datagen", cores=max(legs))
     corpus = ensure_corpus(s0, n)
+    floor_corpus = ensure_corpus(s0, floor_rows) if floor_rows else None
     s0.stop()
 
     if mode == "tmpfs":
@@ -275,14 +285,23 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
         for i in range(runs):
             dt, routed = run_pipeline_once(s, corpus, f"{out_base}_{cores}_{i}")
             times.append(dt)
+        floor_times = []
+        if floor_corpus:
+            for i in range(runs):
+                ft, _ = run_pipeline_once(s, floor_corpus, f"{out_base}_{cores}_floor_{i}")
+                floor_times.append(ft)
         s.stop()
         if mode == "tmpfs":  # don't squat tmpfs between legs
             for d in (f"{out_base}_{cores}_warm",
-                      *(f"{out_base}_{cores}_{i}" for i in range(runs))):
+                      *(f"{out_base}_{cores}_{i}" for i in range(runs)),
+                      *(f"{out_base}_{cores}_floor_{i}" for i in range(runs))):
                 _sh.rmtree(d, ignore_errors=True)
         med, disc = _median_of_clean(times)
+        floor_med = _median_of_clean(floor_times)[0] if floor_times else None
         results[cores] = {
             "median_sec": round(med, 2),
+            "floor_sec": round(floor_med, 2) if floor_med is not None else None,
+            "floor_runs_sec": [round(t, 2) for t in floor_times],
             "runs_sec": [round(t, 2) for t in times],
             "discarded_sec": [round(t, 2) for t in disc],
             "rows_per_sec": round(routed / med, 1),
@@ -298,8 +317,21 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
         for hi in ordered
         if hi == 4 * lo  # the N vs 4N pairs
     }
+    efficiencies_fs = {}
+    for lo in ordered:
+        for hi in ordered:
+            if hi != 4 * lo:
+                continue
+            flo, fhi = results[lo]["floor_sec"], results[hi]["floor_sec"]
+            if flo is None or fhi is None:
+                continue
+            c_lo, c_hi = results[lo]["median_sec"] - flo, results[hi]["median_sec"] - fhi
+            if c_lo > 0 and c_hi > 0:
+                efficiencies_fs[f"{lo}->{hi}"] = round(c_lo / (4 * c_hi), 3)
     return {
-        "mode": mode, "legs": results, "efficiencies": efficiencies, "rows": n,
+        "mode": mode, "legs": results, "efficiencies": efficiencies,
+        "efficiencies_floor_subtracted": efficiencies_fs,
+        "floor_rows": floor_rows, "rows": n,
         # clean iff every pre-leg probe saw an idle host (<25% neighbor
         # CPU, <200 ms 4MB-fsync) — the whole run's numbers are then
         # storm-free by measurement, not assertion
@@ -308,7 +340,8 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
 
 
 def cluster_bench(workers=(1, 4), cores_per_worker: int = 8, mem_mb: int = 8192,
-                  runs: int = 3, n: int | None = None) -> dict:
+                  runs: int = 3, n: int | None = None,
+                  floor_rows: int | None = 20_000) -> dict:
     """The N vs 4N legs with REAL separate executor processes.
 
     ``local-cluster[w, c, mem]`` starts an in-process standalone
@@ -319,6 +352,17 @@ def cluster_bench(workers=(1, 4), cores_per_worker: int = 8, mem_mb: int = 8192,
     skips.  1 worker x 8 cores vs 4 workers x 8 cores is the same
     4x-resources contrast as the local legs but with the executor
     process boundary in place.
+
+    Floor decomposition (VERDICT r4 #4): per leg, the SAME warm session
+    also times the pipeline on a tiny `floor_rows` corpus.  That run is
+    almost pure per-job fixed cost — driver planning, stage scheduling,
+    Python-worker round-trips per executor, commit protocol, manifest/
+    ledger writes — i.e. the serial+per-executor floor F_w that does NOT
+    shrink with input size.  `efficiencies_floor_subtracted` then
+    reports (T_1 - F_1) / (4 x (T_4 - F_4)): how the data-proportional
+    part of the job scales once the fixed floor (which a 100 TB input
+    amortizes to nothing, but a 30 s sandbox run does not) is removed —
+    the same no-free-parameter decomposition r3 used for the tmpfs legs.
     """
     import sys
 
@@ -328,6 +372,7 @@ def cluster_bench(workers=(1, 4), cores_per_worker: int = 8, mem_mb: int = 8192,
     n = n or pipeline_rows(_sf_of(SF_DIR))
     s0 = get_spark(app_name="bench-datagen", cores=32)
     corpus = ensure_corpus(s0, n)
+    floor_corpus = ensure_corpus(s0, floor_rows) if floor_rows else None
     s0.stop()
 
     results = {}
@@ -355,10 +400,18 @@ def cluster_bench(workers=(1, 4), cores_per_worker: int = 8, mem_mb: int = 8192,
         for i in range(runs):
             dt, routed = run_pipeline_once(s, corpus, f"/tmp/lp_cluster_{w}_{i}")
             times.append(dt)
+        floor_times = []
+        if floor_corpus:
+            for i in range(runs):
+                ft, _ = run_pipeline_once(s, floor_corpus, f"/tmp/lp_cluster_{w}_floor_{i}")
+                floor_times.append(ft)
         s.stop()
         med, disc = _median_of_clean(times)
+        floor_med = _median_of_clean(floor_times)[0] if floor_times else None
         results[w] = {
             "median_sec": round(med, 2),
+            "floor_sec": round(floor_med, 2) if floor_med is not None else None,
+            "floor_runs_sec": [round(t, 2) for t in floor_times],
             "runs_sec": [round(t, 2) for t in times],
             "discarded_sec": [round(t, 2) for t in disc],
             "rows_per_sec": round(routed / med, 1),
@@ -374,8 +427,22 @@ def cluster_bench(workers=(1, 4), cores_per_worker: int = 8, mem_mb: int = 8192,
         )
         for lo in ordered for hi in ordered if hi == 4 * lo
     }
+    efficiencies_fs = {}
+    for lo in ordered:
+        for hi in ordered:
+            if hi != 4 * lo:
+                continue
+            flo, fhi = results[lo]["floor_sec"], results[hi]["floor_sec"]
+            if flo is None or fhi is None:
+                continue
+            c_lo = results[lo]["median_sec"] - flo
+            c_hi = results[hi]["median_sec"] - fhi
+            if c_lo > 0 and c_hi > 0:
+                efficiencies_fs[f"{lo}->{hi}"] = round(c_lo / (4 * c_hi), 3)
     return {
         "mode": "local-cluster", "legs": results, "efficiencies": efficiencies,
+        "efficiencies_floor_subtracted": efficiencies_fs,
+        "floor_rows": floor_rows,
         "rows": n, "cores_per_worker": cores_per_worker, "mem_mb": mem_mb,
         "host_clean": all(_probe_clean(p) for p in probes),
     }
