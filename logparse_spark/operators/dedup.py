@@ -689,9 +689,19 @@ def embedding_near_dups(
     # double math end-to-end: float32 sums drift from a DOUBLE[] oracle
     # and from the float64 GEMM path
     vec = F.col(vec_col).cast("array<double>")
+    # one F.expr per plane, not one F.lit per scalar: per-literal py4j
+    # round-trips are serial DRIVER time (~0.5 s for 12x64 here; see
+    # similarity.centroid_literal for the measurement); repr round-trips
+    # each double exactly so the plan is bit-identical
+    # the D suffix is load-bearing: bare decimals in SQL text parse as
+    # DECIMAL, not DOUBLE (see similarity.centroid_literal)
+    plane_cols = [
+        F.expr("array(" + ", ".join(repr(float(w)) + "D" for w in p) + ")")
+        for p in planes
+    ]
     bits = [
-        F.when(_dot(vec, F.array(*[F.lit(float(w)) for w in p])) >= 0, 1).otherwise(0) * (1 << i)
-        for i, p in enumerate(planes)
+        F.when(_dot(vec, pc) >= 0, 1).otherwise(0) * (1 << i)
+        for i, pc in enumerate(plane_cols)
     ]
     bucket = sum(bits[1:], bits[0]).alias("bucket")
     v = df.select(F.col(id_col).alias("id"), vec.alias("v"), bucket)

@@ -152,27 +152,46 @@ def pick_centroids(corpus: DataFrame, n_centroids: int, vec_col: str = "embeddin
     )
 
 
+def centroid_literal(rows) -> Column:
+    """Collected centroid rows -> ONE literal array<struct<cid,cv>>
+    Column via a single SQL-text expression.
+
+    Building this with per-value `F.lit` costs one py4j round-trip per
+    literal — measured at ~1.5 s of DRIVER time per query for 16
+    centroids x 64 dims x 2 assign calls (~70% of q_sim_topk_ivf's
+    clean-window wall, and the source of its bench spread: the cost is
+    serial driver work, maximally exposed to host noise).  One formatted
+    `F.expr` string is one round-trip; `repr(float)` round-trips every
+    double exactly, so plan semantics are bit-identical."""
+    # the D suffix is load-bearing: a bare `0.1` parses as DECIMAL in
+    # Spark SQL (unlike F.lit, which makes a double) and silently turns
+    # the downstream cosine math into decimal arithmetic — measured 5x
+    # slower execution
+    parts = ", ".join(
+        f"named_struct('cid', {int(r['centroid_id'])}L, 'cv', "
+        f"array({', '.join(repr(float(x)) + 'D' for x in r['centroid'])}))"
+        for r in rows
+    )
+    return F.expr(f"array({parts})")
+
+
 def assign_centroid(df: DataFrame, centroids: DataFrame, vec_col: str = "embedding",
-                    rank: int = 1) -> DataFrame:
+                    rank: int = 1, lit_cents: Column | None = None) -> DataFrame:
     """Attach the `rank`-nearest centroid_id(s) to every row — ZERO shuffle.
 
     The centroid set is tiny by construction, so it is collected once and
     folded into the plan as a literal array; the per-row top-`rank` is an
     array sort + slice + explode, entirely map-side.  (VERDICT r1: the
     previous window over monotonically_increasing_id forced a full
-    exchange of corpus x n_centroids rows.)
+    exchange of corpus x n_centroids rows.)  Callers issuing several
+    assigns pass a prebuilt `lit_cents` (centroid_literal) so the
+    centroids are collected and serialized once.
 
     Ties break toward the smaller centroid_id (struct ordering on
     (cos desc, -centroid_id desc)), matching the old window orderBy.
     """
-    rows = centroids.collect()  # n_centroids rows — driver-tiny
-    lit_cents = F.array(*[
-        F.struct(
-            F.lit(int(r["centroid_id"])).alias("cid"),
-            F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("cv"),
-        )
-        for r in rows
-    ])
+    if lit_cents is None:
+        lit_cents = centroid_literal(centroids.collect())  # driver-tiny
     scored = F.transform(
         lit_cents,
         lambda c: F.struct(
@@ -207,14 +226,15 @@ def ivf_topk(
     # double math end-to-end so the scoring is bit-comparable with a
     # DOUBLE[] SQL oracle (float32 partial sums drift)
     cents = pick_centroids(corpus, n_centroids, vec_col, id_col)
+    lit_cents = centroid_literal(cents.collect())  # ONE collect, ONE expr
     c_assigned = assign_centroid(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("cv")),
-        cents, "cv", rank=1)
+        cents, "cv", rank=1, lit_cents=lit_cents)
     q_assigned = assign_centroid(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv")),
-        cents, "qv", rank=nprobe)
+        cents, "qv", rank=nprobe, lit_cents=lit_cents)
     scored = c_assigned.join(
         F.broadcast(q_assigned), "centroid_id"
     ).where(F.col("query_id") != F.col("neighbor_id")).select(
