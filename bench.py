@@ -450,22 +450,28 @@ def cluster_bench(workers=(1, 4), cores_per_worker: int = 8, mem_mb: int = 8192,
 
 def _mode_tables(res: dict) -> str:
     legs = sorted(int(k) for k in res["legs"])
+
+    def leg(c):
+        return res["legs"].get(c) or res["legs"][str(c)]
+
     rows_tbl = "\n".join(
-        f"| local[{c}] | {res['legs'][c]['median_sec']} | "
-        f"{res['legs'][c]['rows_per_sec']:,} | {res['legs'][c]['runs_sec']} |"
+        f"| local[{c}] | {leg(c)['median_sec']} | "
+        f"{leg(c)['rows_per_sec']:,} | {leg(c)['runs_sec']} | "
+        f"{leg(c).get('floor_sec', '—')} |"
         for c in legs
     )
+    fs = res.get("efficiencies_floor_subtracted", {})
     eff_tbl = "\n".join(
-        f"| {pair.replace('->', ' -> ')} cores (4x) | {eff} |"
+        f"| {pair.replace('->', ' -> ')} cores (4x) | {eff} | {fs.get(pair, '—')} |"
         for pair, eff in res["efficiencies"].items()
     )
     return f"""
-| parallelism | median wall (s) | throughput (rows/s) | runs (s) |
-|---|---|---|---|
+| parallelism | median wall (s) | throughput (rows/s) | runs (s) | measured fixed floor (s) |
+|---|---|---|---|---|
 {rows_tbl}
 
-| N -> 4N pair | scaling efficiency thr(4N)/(4 x thr(N)) |
-|---|---|
+| N -> 4N pair | raw efficiency thr(4N)/(4 x thr(N)) | floor-subtracted |
+|---|---|---|
 {eff_tbl}
 """
 
@@ -505,6 +511,20 @@ The host's measured memory-bandwidth scaling band for the same core
 pair is 0.63-0.78 (BENCH/RESULTS_r2.md) — a compute-only efficiency
 inside that band means the pipeline scales as well as this box's
 memory system physically allows.
+
+"Measured fixed floor" (since r5): the same warm session also times the
+pipeline on a 20k-row corpus — almost pure per-run fixed cost (driver
+planning, scheduling, commit protocol, manifest/ledger writes) that
+neither shrinks with cores nor grows with input.  The floor-subtracted
+column reports how the data-proportional part scales once that floor is
+removed — the adjustment a 100 TB input performs physically (a ~30 s
+sandbox run is 40-60% fixed floor; a one-hour production run is ~0%).
+The strongest evidence is the REAL-executor pair
+(BENCH/scaling_cluster_r5.json, local-cluster[1,8] vs [4,8], separate
+executor JVMs + loopback shuffle, clean window): raw 1->4 efficiency
+0.563, floor-subtracted **1.02** — the distributed fraction scales
+perfectly; the whole raw gap is the fixed floor.  See
+BENCH/RESULTS_r5.md for the decomposition table.
 
 Confs: AQE on, shuffle.partitions = cores, spark.task.cpus = 2 (one JVM
 thread + one dedicated Python worker per 2 cores — the executor model;
