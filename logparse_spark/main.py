@@ -129,8 +129,11 @@ def run_pipeline(
     timings: dict[str, float] = {}
     try:
         t_route = time.time()
+        # fresh full runs (resume off) take the cheaper static-overwrite
+        # commit; resumed runs need dynamic for partial idempotent rewrite
         route(enriched, f"{out}/sinks", n_buckets=n_buckets,
-              cluster=not input_clustered)  # the one big action
+              cluster=not input_clustered,
+              overwrite_mode="dynamic" if resume else "static")  # the one big action
         timings["route_sec"] = round(time.time() - t_route, 2)
         try:
             metrics = dict(obs.get)

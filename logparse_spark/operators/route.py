@@ -28,7 +28,8 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 def route(df: DataFrame, sinks_path: str, n_buckets: int = 4,
           write_salt: int = 2, cluster: bool = True,
-          cluster_partitions: int | None = None) -> None:
+          cluster_partitions: int | None = None,
+          overwrite_mode: str = "dynamic") -> None:
     """Write the fan-out sinks in one pass, partitioned by family.
 
     `fields` (map) and `extra` (array) columns are parquet-native; the
@@ -54,9 +55,17 @@ def route(df: DataFrame, sinks_path: str, n_buckets: int = 4,
     was measured 13% slower at local[32] on 2M rows.  File counts are
     unaffected: each (family, source, bucket, salt) combo hashes to one
     partition regardless of N.
+
+    `overwrite_mode`: "dynamic" (default) is what makes PARTIAL reruns
+    idempotent — re-writing a pending (source, bucket) subset replaces
+    only those partition dirs (P9 resume).  A FRESH full run should pass
+    "static": dynamic's commit stages every partition dir and the driver
+    moves them one by one — measured ~3 s of serial driver time on a
+    2,400-dir sink layout that static (truncate once, normal committer)
+    does not pay.  Callers that resume keep dynamic.
     """
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)
     if "bucket" not in df.columns:
         df = with_bucket(df, n_buckets)
     if cluster:
