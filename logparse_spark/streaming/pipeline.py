@@ -46,6 +46,33 @@ def windowed_family_counts(parsed: DataFrame, window: str = "1 minute",
     )
 
 
+def dedup_stream(df: DataFrame, text_col: str = "text",
+                 ts_col: str | None = None,
+                 watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming EXACT dedup: keep the first-seen row per content
+    fingerprint — the incremental twin of operators/dedup.exact dedup
+    for a corpus that arrives continuously (the training-data ingest
+    shape: new crawl shards land, already-seen documents must not be
+    re-emitted).
+
+    State discipline at scale: the state store holds ONE 32-char md5
+    per distinct key, never the text.  With `ts_col` given, uses
+    `dropDuplicatesWithinWatermark` so state for keys older than the
+    watermark is EVICTED — bounded state forever, the only shape that
+    survives an unbounded stream.  Without `ts_col` (bounded catch-up
+    runs, availableNow), plain `dropDuplicates` keeps all keys for
+    exact global dedup.
+
+    Exactly checkable: an availableNow drain emits one row per distinct
+    fingerprint == batch `GROUP BY md5(text)` (pinned in
+    tests/test_streaming.py)."""
+    keyed = df.withColumn("fp", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        return keyed.withWatermark(ts_col, watermark_delay) \
+            .dropDuplicatesWithinWatermark(["fp"])
+    return keyed.dropDuplicates(["fp"])
+
+
 def route_stream(parsed: DataFrame, sinks_path: str, checkpoint: str):
     """Streaming fan-out: per-micro-batch partitioned write.
 
