@@ -87,3 +87,41 @@ def test_resize_plan(spark):
     for r in mm.resize_plan(media, max_side=128).collect():
         assert max(r["out_width"], r["out_height"]) <= 129  # ceil slack
         assert r["scale"] <= 1.0
+
+
+def test_bmp_roundtrip_property():
+    """Property: encode->decode is exact for arbitrary small dimensions
+    (including widths whose 3-byte rows need every padding width 0-3)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(1, 24), st.integers(1, 16), st.integers(0, 2**31 - 1))
+    @settings(max_examples=60, deadline=None)
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        bgr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        d = mm.decode_bmp(mm.encode_bmp(bgr))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["n_pixels"] == w * h
+        assert d["pixel_sum"] == int(bgr.astype(np.int64).sum())
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(1, 500), st.sampled_from([8000, 16000, 44100]),
+           st.integers(0, 2**31 - 1))
+    @settings(max_examples=60, deadline=None)
+    def check(n, sr, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int64).astype(np.int16)
+        d = mm.decode_wav(mm.encode_wav(samples, sr))
+        assert d["sample_rate"] == sr and d["n_samples"] == n
+        assert d["sample_sum"] == int(samples.astype(np.int64).sum())
+
+    check()
