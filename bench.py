@@ -134,6 +134,13 @@ def run_pipeline_once(spark, corpus_path: str, out: str) -> tuple[float, int]:
 
     seq = spark.read.parquet(corpus_path).drop("bucket")
     shutil.rmtree(out, ignore_errors=True)
+    # drain OUR OWN writeback backlog before the timed window: each run
+    # leaves ~3.4k dirty sink/metric files, and the NEXT run's commit
+    # fsyncs otherwise queue behind them (measured: the 4 MB fsync probe
+    # goes 27 ms -> 650 ms across back-to-back runs without this, and
+    # recovers to ~25 ms with it).  os.sync() is untimed by design — the
+    # bench measures the pipeline, not the janitor.
+    os.sync()
     t0 = time.time()
     metrics = run_pipeline(spark, seq, out, n_buckets=2, resume=False,
                            input_clustered=False)
