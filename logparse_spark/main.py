@@ -113,10 +113,16 @@ def run_pipeline(
 
     from logparse_spark.operators.aggregate import grain_counts
 
+    scan_bytes = _input_bytes(sequences_df)
     if cache_mode == "auto":
         # threshold on COMPRESSED scan bytes; token sequences expand
         # ~6-10x from parquet to in-memory rows
-        cache_mode = "narrow" if _input_bytes(sequences_df) > 512 << 20 else "full"
+        cache_mode = "narrow" if scan_bytes > 512 << 20 else "full"
+    # write salt is scale-adaptive for the same reason: >1 writers per
+    # sink dir only pays off once dirs are big enough that one task
+    # writing the hottest dir serializes the write stage; below that it
+    # just multiplies small files (each ~3.7 ms of commit cost)
+    write_salt = 2 if scan_bytes > 512 << 20 else 1
 
     if cache_mode == "full":
         # full-frame persist fills during the route action's map side —
@@ -132,7 +138,7 @@ def run_pipeline(
         # fresh full runs (resume off) take the cheaper static-overwrite
         # commit; resumed runs need dynamic for partial idempotent rewrite
         route(enriched, f"{out}/sinks", n_buckets=n_buckets,
-              cluster=not input_clustered,
+              cluster=not input_clustered, write_salt=write_salt,
               overwrite_mode="dynamic" if resume else "static")  # the one big action
         timings["route_sec"] = round(time.time() - t_route, 2)
         try:

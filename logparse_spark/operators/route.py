@@ -70,12 +70,62 @@ def route(df: DataFrame, sinks_path: str, n_buckets: int = 4,
         df = with_bucket(df, n_buckets)
     if cluster:
         n = cluster_partitions or spark.sparkContext.defaultParallelism * 2
+        # salt hash MUST be independent of the bucket hash: bucket is
+        # crc32(doc_id) % n_buckets, so crc32(doc_id) % write_salt is
+        # CONSTANT within a dir whenever write_salt divides n_buckets —
+        # i.e. the salt was inert and the hottest dir was written by one
+        # task.  Salting a distinct string decorrelates the two.
         df = df.repartition(
             n,
             *[F.col(c) for c in SINK_PARTITIONS],
-            F.pmod(F.crc32(F.col("doc_id")), F.lit(write_salt)),
+            F.pmod(F.crc32(F.concat(F.col("doc_id"), F.lit("#w"))), F.lit(write_salt)),
         )
     df.write.mode("overwrite").partitionBy(*SINK_PARTITIONS).parquet(sinks_path)
+
+
+def compact_sinks(spark: SparkSession, sinks_path: str,
+                  write_salt: int = 1,
+                  cluster_partitions: int | None = None) -> dict:
+    """Post-ingest small-file compaction — the maintenance job every
+    partitioned production table needs: N streaming/incremental writes
+    leave `salt x runs` files per (family, source, bucket) dir; this
+    rewrites each dir's files into `write_salt` (default 1) without
+    changing a single row.
+
+    Mechanics: one clustered read-rewrite into a staging dir (the same
+    single-pass partitionBy shape as route(), static overwrite — this
+    is a full rewrite), then an atomic directory swap.  Readers either
+    see the old tree or the new one, never a mix; the old tree is
+    removed only after the swap succeeds.  At 100 TB this is the
+    Iceberg `rewrite_data_files` action; on plain parquet dirs the swap
+    is the transactional boundary.
+
+    Returns {files_before, files_after, rows}.
+    """
+    import shutil
+
+    def _data_files(p: str) -> int:
+        return sum(1 for _, _, fs in os.walk(p)
+                   for f in fs if not f.startswith(("_", ".")))
+
+    df = spark.read.option("basePath", sinks_path).parquet(sinks_path)
+    rows = df.count()
+    before = _data_files(sinks_path)
+    staging = sinks_path.rstrip("/") + "__compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    route(df, staging, write_salt=write_salt,
+          cluster_partitions=cluster_partitions, overwrite_mode="static")
+    old = sinks_path.rstrip("/") + "__precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(sinks_path, old)
+    try:
+        os.rename(staging, sinks_path)
+    except OSError:
+        os.rename(old, sinks_path)  # roll back: old tree restored
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return {"files_before": before, "files_after": _data_files(sinks_path),
+            "rows": rows}
 
 
 def read_sink(spark: SparkSession, sinks_path: str, family: str | None = None) -> DataFrame:

@@ -396,9 +396,12 @@ def write_sequences(
     # instead of tasks x dirs (same discipline as operators/route.py);
     # salt=8 keeps the zipf-hot source split across >=8 files so the
     # downstream scan parallelizes over it
+    # salt a distinct string: pmod(crc32(doc_id), 8) shares its low bits
+    # with bucket = crc32(doc_id) % n_buckets, which silently cut the
+    # effective per-dir split from 8 to 8/n_buckets (see route.py)
     df = df.repartition(
         F.col("source"), F.col("bucket"),
-        F.pmod(F.crc32(F.col("doc_id")), F.lit(8)),
+        F.pmod(F.crc32(F.concat(F.col("doc_id"), F.lit("#w"))), F.lit(8)),
     )
     df.write.mode("overwrite").partitionBy("source", "bucket").parquet(path)
 

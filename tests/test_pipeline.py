@@ -97,3 +97,41 @@ def test_fields_map_matches_oracle(spark, pipeline_out, oracle_events):
     exp = {e["doc_id"]: e["fields"] for e in oracle_events}
     for r in routed:
         assert (r["fields"] or {}) == exp[r["doc_id"]], r["doc_id"]
+
+
+def test_compact_sinks_preserves_rows_and_reduces_files(spark, tmp_path):
+    """compact_sinks must rewrite the (family, source, bucket) tree into
+    fewer files without changing a single row — tokens bit-identical,
+    partition dirs preserved, old tree gone."""
+    import os
+
+    from logparse_spark.operators.route import compact_sinks, read_sink
+
+    from logparse_spark.engine import parse_sequences
+    from logparse_spark.operators.enrich import enrich, rules_dim
+    from logparse_spark.operators.route import route, with_bucket
+    from logparse_spark.sources.datagen import nodes_dim
+
+    seq = generate_sequences(spark, 2500, partitions=8)
+    enriched = with_bucket(
+        enrich(parse_sequences(with_bucket(seq, 2)), nodes_dim(spark), rules_dim(spark)), 2)
+    sinks = str(tmp_path / "compact_sinks")
+    # salt=3: the multi-writer tree a hot-dir layout (or N incremental
+    # ingests) leaves behind — the thing compaction exists to fix
+    route(enriched, sinks, n_buckets=2, write_salt=3)
+    before = {
+        r["doc_id"]: r["tokens"]
+        for r in read_sink(spark, sinks).select("doc_id", "tokens").collect()
+    }
+    stats = compact_sinks(spark, sinks, write_salt=1)
+    assert stats["rows"] == len(before) == 2500
+    assert stats["files_after"] < stats["files_before"]
+    after_df = read_sink(spark, sinks)
+    after = {r["doc_id"]: r["tokens"]
+             for r in after_df.select("doc_id", "tokens").collect()}
+    assert after == before  # bit-identical tokens, no row lost or duped
+    # partition tree shape preserved (family dirs still prunable)
+    fams = {d for d in os.listdir(sinks) if d.startswith("family=")}
+    assert "family=unknown" in fams and len(fams) > 3
+    assert not os.path.exists(sinks + "__compacting")
+    assert not os.path.exists(sinks + "__precompact")
