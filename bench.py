@@ -105,6 +105,26 @@ def _median_of_clean(times: list[float], factor: float = 1.4) -> tuple[float, li
     return statistics.median(clean), discarded
 
 
+def _floor_efficiencies(results: dict, ordered: list) -> dict:
+    """Floor-subtracted N->4N efficiencies: how the data-proportional
+    part (big-run median minus the same leg's measured tiny-run floor)
+    scales.  Shared by scaling_bench and cluster_bench so the
+    subtraction rule cannot drift between them."""
+    out = {}
+    for lo in ordered:
+        for hi in ordered:
+            if hi != 4 * lo:
+                continue
+            flo, fhi = results[lo]["floor_sec"], results[hi]["floor_sec"]
+            if flo is None or fhi is None:
+                continue
+            c_lo = results[lo]["median_sec"] - flo
+            c_hi = results[hi]["median_sec"] - fhi
+            if c_lo > 0 and c_hi > 0:
+                out[f"{lo}->{hi}"] = round(c_lo / (4 * c_hi), 3)
+    return out
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -117,11 +137,19 @@ def pipeline_rows(sf: float) -> int:
     return max(20_000, int(2_000_000 * sf / 0.1))
 
 
+# bump when write_sequences' physical LAYOUT changes (row content is
+# separately crc-pinned): v2 = r5 salt decorrelation (8 real splits per
+# (source,bucket) dir, was 8/n_buckets aliased splits).  Without a
+# layout version in the cache key, a layout fix is silently inert for
+# every pre-existing corpus (found by review in r5).
+_CORPUS_LAYOUT_VERSION = 2
+
+
 def ensure_corpus(spark, n: int, n_buckets: int = 4) -> str:
     """Materialize the synthetic sequences corpus once (not timed)."""
     from logparse_spark.sources.datagen import write_sequences
 
-    path = os.path.join(DATA_DIR, f"bench_seq_{n}")
+    path = os.path.join(DATA_DIR, f"bench_seq_{n}_v{_CORPUS_LAYOUT_VERSION}")
     marker = os.path.join(path, "_SUCCESS_LOCAL")
     if not os.path.exists(marker):
         write_sequences(spark, path, n, n_buckets=n_buckets)
@@ -324,20 +352,9 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
         for hi in ordered
         if hi == 4 * lo  # the N vs 4N pairs
     }
-    efficiencies_fs = {}
-    for lo in ordered:
-        for hi in ordered:
-            if hi != 4 * lo:
-                continue
-            flo, fhi = results[lo]["floor_sec"], results[hi]["floor_sec"]
-            if flo is None or fhi is None:
-                continue
-            c_lo, c_hi = results[lo]["median_sec"] - flo, results[hi]["median_sec"] - fhi
-            if c_lo > 0 and c_hi > 0:
-                efficiencies_fs[f"{lo}->{hi}"] = round(c_lo / (4 * c_hi), 3)
     return {
         "mode": mode, "legs": results, "efficiencies": efficiencies,
-        "efficiencies_floor_subtracted": efficiencies_fs,
+        "efficiencies_floor_subtracted": _floor_efficiencies(results, ordered),
         "floor_rows": floor_rows, "rows": n,
         # clean iff every pre-leg probe saw an idle host (<25% neighbor
         # CPU, <200 ms 4MB-fsync) — the whole run's numbers are then
@@ -434,21 +451,9 @@ def cluster_bench(workers=(1, 4), cores_per_worker: int = 8, mem_mb: int = 8192,
         )
         for lo in ordered for hi in ordered if hi == 4 * lo
     }
-    efficiencies_fs = {}
-    for lo in ordered:
-        for hi in ordered:
-            if hi != 4 * lo:
-                continue
-            flo, fhi = results[lo]["floor_sec"], results[hi]["floor_sec"]
-            if flo is None or fhi is None:
-                continue
-            c_lo = results[lo]["median_sec"] - flo
-            c_hi = results[hi]["median_sec"] - fhi
-            if c_lo > 0 and c_hi > 0:
-                efficiencies_fs[f"{lo}->{hi}"] = round(c_lo / (4 * c_hi), 3)
     return {
         "mode": "local-cluster", "legs": results, "efficiencies": efficiencies,
-        "efficiencies_floor_subtracted": efficiencies_fs,
+        "efficiencies_floor_subtracted": _floor_efficiencies(results, ordered),
         "floor_rows": floor_rows,
         "rows": n, "cores_per_worker": cores_per_worker, "mem_mb": mem_mb,
         "host_clean": all(_probe_clean(p) for p in probes),
@@ -464,7 +469,7 @@ def _mode_tables(res: dict) -> str:
     rows_tbl = "\n".join(
         f"| local[{c}] | {leg(c)['median_sec']} | "
         f"{leg(c)['rows_per_sec']:,} | {leg(c)['runs_sec']} | "
-        f"{leg(c).get('floor_sec', '—')} |"
+        f"{leg(c).get('floor_sec') or '—'} |"
         for c in legs
     )
     fs = res.get("efficiencies_floor_subtracted", {})

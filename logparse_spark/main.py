@@ -121,8 +121,11 @@ def run_pipeline(
     # write salt is scale-adaptive for the same reason: >1 writers per
     # sink dir only pays off once dirs are big enough that one task
     # writing the hottest dir serializes the write stage; below that it
-    # just multiplies small files (each ~3.7 ms of commit cost)
-    write_salt = 2 if scan_bytes > 512 << 20 else 1
+    # just multiplies small files (each ~3.7 ms of commit cost).
+    # UNKNOWN size (scan_bytes == 0: non-file inputs) takes the
+    # protective salt — failing toward extra small files, never toward
+    # a serialized hot-dir write on a large generated input
+    write_salt = 1 if 0 < scan_bytes <= 512 << 20 else 2
 
     if cache_mode == "full":
         # full-frame persist fills during the route action's map side —

@@ -265,6 +265,16 @@ _NON_SCAN_NODES = (
 )
 
 
+def _plan_node_names(plan: str) -> list[str]:
+    """Leading node name of every line of a logical-plan tree string
+    (strips the `+- ` / `:  +- ` tree-drawing prefix).  Matching NODE
+    names — not raw substrings — matters: a pushed filter literal like
+    Contains(text, 'Sorted') must not look like a Sort node."""
+    import re
+
+    return re.findall(r"(?m)^[\s:+-]*'?([A-Za-z]\w*)", plan)
+
+
 def _is_direct_file_scan(df: DataFrame) -> bool:
     """True iff the frame is a plain projection/filter over a file
     relation — the only shape whose RDD partition count is (a) cheap to
@@ -277,7 +287,9 @@ def _is_direct_file_scan(df: DataFrame) -> bool:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:  # noqa: BLE001 - non-SQL inputs (e.g. raw RDD frames)
         return False
-    return not any(marker in plan for marker in _NON_SCAN_NODES)
+    return not any(
+        node.startswith(_NON_SCAN_NODES) for node in _plan_node_names(plan)
+    )
 
 
 def _minhash_banded(

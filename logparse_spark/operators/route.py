@@ -94,11 +94,15 @@ def compact_sinks(spark: SparkSession, sinks_path: str,
 
     Mechanics: one clustered read-rewrite into a staging dir (the same
     single-pass partitionBy shape as route(), static overwrite — this
-    is a full rewrite), then an atomic directory swap.  Readers either
-    see the old tree or the new one, never a mix; the old tree is
-    removed only after the swap succeeds.  At 100 TB this is the
-    Iceberg `rewrite_data_files` action; on plain parquet dirs the swap
-    is the transactional boundary.
+    is a full rewrite), then a two-rename directory swap.  Readers see
+    a consistent tree — old or new, never a mix — but POSIX rename
+    cannot exchange two paths atomically, so there is a brief window
+    where `sinks_path` is absent (a concurrent reader errors rather
+    than reads garbage), and a crash inside the window leaves the data
+    intact under `<path>__precompact` for manual recovery.  At 100 TB
+    this is the Iceberg `rewrite_data_files` action, whose metadata
+    commit closes exactly this gap; on plain parquet dirs the swap is
+    the best available transactional boundary.
 
     Returns {files_before, files_after, rows}.
     """
@@ -122,6 +126,7 @@ def compact_sinks(spark: SparkSession, sinks_path: str,
         os.rename(staging, sinks_path)
     except OSError:
         os.rename(old, sinks_path)  # roll back: old tree restored
+        shutil.rmtree(staging, ignore_errors=True)  # no stranded staging
         raise
     shutil.rmtree(old, ignore_errors=True)
     return {"files_before": before, "files_after": _data_files(sinks_path),

@@ -19,6 +19,7 @@ Per-row Python here is fine — this is test datagen, not the engine.
 
 from __future__ import annotations
 
+import functools
 import random
 from datetime import datetime, timedelta
 
@@ -286,6 +287,14 @@ DEFAULT_VERSION_MIX = {"1.2": 0.05, "2.0": 0.25, "2.1": 0.30, "3.x": 0.30,
                        "dse": 0.10}
 
 
+@functools.lru_cache(maxsize=64)
+def _family_base_offset(seed: int) -> float:
+    # hoisted out of the per-row path: make_event calls
+    # source_version_family once per row in versioned mode, and a fresh
+    # Random(seed) per call would re-seed a Mersenne Twister per row
+    return random.Random(seed).random()
+
+
 def source_version_family(src_i: int, seed: int = 42) -> str:
     """Deterministic version family for a source node (a node runs ONE
     version — the realistic mixed-cluster shape, and the same pinning a
@@ -293,7 +302,7 @@ def source_version_family(src_i: int, seed: int = 42) -> str:
     sequence instead of an independent draw per node: a 50-node fleet
     then hits every family at ~its mix proportion (an iid draw leaves a
     5%-weight family empty ~8% of the time)."""
-    u = (random.Random(seed).random() + src_i * 0.6180339887498949) % 1.0
+    u = (_family_base_offset(seed) + src_i * 0.6180339887498949) % 1.0
     acc = 0.0
     for fam, wgt in DEFAULT_VERSION_MIX.items():
         acc += wgt

@@ -288,6 +288,19 @@ def test_spread_text_skips_parquet_backed_derived_plans(spark, tmp_path):
         spark.read.parquet(path).where("g = 1").select("doc_id", "text"))
 
 
+def test_direct_scan_detection_ignores_literals_in_plan_text(spark, tmp_path):
+    # a pushed filter literal containing a node-name word ('Sorted' ~
+    # 'Sort') must NOT make a plain scan look derived — markers match
+    # line-leading node names, not raw substrings (review r5)
+    path = str(tmp_path / "lit_docs")
+    spark.createDataFrame(
+        [("d1", "Sorted Window Generate Join text")],
+        "doc_id string, text string",
+    ).write.parquet(path)
+    scan = spark.read.parquet(path).where(F.col("text").contains("Sorted"))
+    assert dd._is_direct_file_scan(scan)
+
+
 def test_spread_text_leaves_well_split_input_alone(spark):
     # a well-split input keeps its plan — _spread_text adds no Exchange
     # of its own beyond whatever the input already contains
