@@ -139,10 +139,13 @@ def pipeline_rows(sf: float) -> int:
 
 # bump when write_sequences' physical LAYOUT changes (row content is
 # separately crc-pinned): v2 = r5 salt decorrelation (8 real splits per
-# (source,bucket) dir, was 8/n_buckets aliased splits).  Without a
-# layout version in the cache key, a layout fix is silently inert for
-# every pre-existing corpus (found by review in r5).
-_CORPUS_LAYOUT_VERSION = 2
+# (source,bucket) dir, was 8/n_buckets aliased splits); v3 = frequency-
+# aware per-source salt (v2's uniform 8 multiplied files ~4x past the
+# hot-source intent and tripled the parse stage's task count — measured
+# 30 s -> 45 s pipeline at sf0.1).  Without a layout version in the
+# cache key, a layout fix is silently inert for every pre-existing
+# corpus (found by review in r5).
+_CORPUS_LAYOUT_VERSION = 3
 
 
 def ensure_corpus(spark, n: int, n_buckets: int = 4) -> str:

@@ -393,6 +393,27 @@ def generate_sequences(
     return spark.range(0, n, 1, partitions).mapInPandas(fn, SEQUENCES_SCHEMA)
 
 
+_SALT_TARGET_FILE_BYTES = 8 << 20  # ~8 MB files: 2 fit in one 16 MB split
+_SALT_BYTES_PER_ROW = 120  # measured: 230 MB / 2M rows snappy parquet
+
+
+def _source_salts(n: int, n_buckets: int) -> list[int]:
+    """Files per (source, bucket) dir, indexed by source rank.
+
+    Frequency-aware: a dir gets as many writer splits as its EXPECTED
+    bytes warrant (zipf share x corpus size), so the hot source's dirs
+    split enough for the downstream scan to parallelize over them while
+    the cold tail stays one file per dir.  A uniform salt is wrong in
+    both directions at once — it under-splits the hot dir at large n
+    and multiplies tiny files at small n (a real 8x-files regression,
+    ~3x the parse-stage task count via openCostInBytes, found in r5
+    when the aliased uniform salt first became effective)."""
+    shares = _zw / _zw.sum()
+    per_dir_bytes = shares * (n * _SALT_BYTES_PER_ROW / n_buckets)
+    return [int(min(8, max(1, np.ceil(b / _SALT_TARGET_FILE_BYTES))))
+            for b in per_dir_bytes]
+
+
 def write_sequences(
     spark: SparkSession, path: str, n: int, seed: int = 42,
     n_buckets: int = 4, partitions: int | None = None,
@@ -403,15 +424,17 @@ def write_sequences(
     df = df.withColumn("bucket", F.pmod(F.crc32(F.col("doc_id")), F.lit(n_buckets)))
     # cluster on the partition keys (+salt) so files-per-dir stays bounded
     # instead of tasks x dirs (same discipline as operators/route.py);
-    # salt=8 keeps the zipf-hot source split across >=8 files so the
-    # downstream scan parallelizes over it
-    # salt a distinct string: pmod(crc32(doc_id), 8) shares its low bits
-    # with bucket = crc32(doc_id) % n_buckets, which silently cut the
-    # effective per-dir split from 8 to 8/n_buckets (see route.py)
-    df = df.repartition(
-        F.col("source"), F.col("bucket"),
-        F.pmod(F.crc32(F.concat(F.col("doc_id"), F.lit("#w"))), F.lit(8)),
+    # the salt divisor is per-source (_source_salts), and the hash input
+    # is a distinct string: pmod(crc32(doc_id), k) would share its low
+    # bits with bucket = crc32(doc_id) % n_buckets, silently cutting the
+    # effective per-dir split to k/n_buckets (see route.py)
+    salts = _source_salts(n, n_buckets)
+    salt_arr = "array(" + ",".join(map(str, salts)) + ")"
+    salt = F.expr(
+        "pmod(crc32(concat(doc_id, '#w')), "
+        f"{salt_arr}[cast(substring(source, 6, 3) as int)])"
     )
+    df = df.repartition(F.col("source"), F.col("bucket"), salt)
     df.write.mode("overwrite").partitionBy("source", "bucket").parquet(path)
 
 

@@ -103,3 +103,26 @@ def test_versioned_mode_pins_family_per_source_deterministically():
     fams = {source_version_family(s) for s in range(50)}
     assert fams == set(VERSION_FAMILIES)  # the 50-node fleet spans all eras
     assert abs(sum(DEFAULT_VERSION_MIX.values()) - 1.0) < 1e-9
+
+
+def test_source_salts_frequency_aware():
+    """The corpus write salt (files per (source,bucket) dir) must track
+    each source's EXPECTED bytes: the zipf-hot source splits into
+    multiple files so the downstream scan parallelizes over it, while
+    the cold tail stays one file per dir (a uniform salt multiplied
+    small files ~7x and tripled the parse stage's task count — the r5
+    v2-layout regression, 30 s -> 45 s pipeline at sf0.1)."""
+    from logparse_spark.sources.datagen import N_SOURCES, _source_salts
+
+    salts = _source_salts(2_000_000, n_buckets=4)
+    assert len(salts) == N_SOURCES
+    # monotone non-increasing in source rank, and every dir gets >= 1
+    assert salts == sorted(salts, reverse=True)
+    assert min(salts) >= 1
+    # hot source splits, cold tail does not
+    assert salts[0] >= 2
+    assert salts[-1] == 1
+    # bounded: total files stay O(sources x buckets), not x8 everywhere
+    assert sum(salts) <= 2 * N_SOURCES
+    # tiny corpora (the 20k floor corpus) never split at all
+    assert set(_source_salts(20_000, n_buckets=4)) == {1}
