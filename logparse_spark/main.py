@@ -48,6 +48,25 @@ def _input_bytes(df) -> int:
         return 0
 
 
+def _route_clustering(scan_bytes: int, input_clustered: bool) -> tuple[int, bool | str]:
+    """(write_salt, cluster_mode) for the sink write, by MEASURED input
+    size.  <= 512 MB: pinned-salt shuffle, one file per dir (AQE
+    rebalance coalescing collapses the write parallelism a wide
+    partitionBy fan-out needs — measured 27.5 s -> 109.7 s on the
+    20k-row run).  > 512 MB measured: "rebalance" — files-per-dir must
+    track each dir's BYTES, not a global constant (a fixed salt gives
+    the hottest family dir arbitrarily-large files and every cold dir
+    needless ones); AQE splits hot dirs at advisoryPartitionSizeInBytes
+    and packs the cold tail.  UNKNOWN size (0: non-file inputs) takes
+    the protective salt — failing toward extra small files and a
+    parallel write, never toward a serialized tiny-input rebalance."""
+    if input_clustered:
+        return 1, False
+    if scan_bytes > 512 << 20:
+        return 1, "rebalance"
+    return (1 if scan_bytes > 0 else 2), True
+
+
 def run_pipeline(
     spark,
     sequences_df,
@@ -118,14 +137,8 @@ def run_pipeline(
         # threshold on COMPRESSED scan bytes; token sequences expand
         # ~6-10x from parquet to in-memory rows
         cache_mode = "narrow" if scan_bytes > 512 << 20 else "full"
-    # write salt is scale-adaptive for the same reason: >1 writers per
-    # sink dir only pays off once dirs are big enough that one task
-    # writing the hottest dir serializes the write stage; below that it
-    # just multiplies small files (each ~3.7 ms of commit cost).
-    # UNKNOWN size (scan_bytes == 0: non-file inputs) takes the
-    # protective salt — failing toward extra small files, never toward
-    # a serialized hot-dir write on a large generated input
-    write_salt = 1 if 0 < scan_bytes <= 512 << 20 else 2
+    # sink-write clustering is scale-adaptive too (_route_clustering)
+    write_salt, cluster_mode = _route_clustering(scan_bytes, input_clustered)
 
     if cache_mode == "full":
         # full-frame persist fills during the route action's map side —
@@ -141,7 +154,7 @@ def run_pipeline(
         # fresh full runs (resume off) take the cheaper static-overwrite
         # commit; resumed runs need dynamic for partial idempotent rewrite
         route(enriched, f"{out}/sinks", n_buckets=n_buckets,
-              cluster=not input_clustered, write_salt=write_salt,
+              cluster=cluster_mode, write_salt=write_salt,
               overwrite_mode="dynamic" if resume else "static")  # the one big action
         timings["route_sec"] = round(time.time() - t_route, 2)
         try:

@@ -27,7 +27,7 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def route(df: DataFrame, sinks_path: str, n_buckets: int = 4,
-          write_salt: int = 2, cluster: bool = True,
+          write_salt: int = 2, cluster: bool | str = True,
           cluster_partitions: int | None = None,
           overwrite_mode: str = "dynamic") -> None:
     """Write the fan-out sinks in one pass, partitioned by family.
@@ -41,6 +41,26 @@ def route(df: DataFrame, sinks_path: str, n_buckets: int = 4,
     so one hot dir never pins a single task) bounds files per dir to
     `write_salt` and total files to dirs x salt — at 100 TB this is the
     difference between a working table and a small-files meltdown.
+
+    `cluster="rebalance"` replaces the fixed salt with AQE's REBALANCE
+    shuffle on the partition keys: runtime statistics split any dir
+    whose bytes exceed `spark.sql.adaptive.advisoryPartitionSizeInBytes`
+    into ~advisory-sized writers and pack the cold tail several dirs
+    per task — i.e. files-per-dir tracks each dir's BYTES instead of a
+    global constant, with no pre-pass over the data.  (Granularity
+    caveat: AQE splits a skewed SHUFFLE partition by mapper range, so a
+    cold dir co-hashed into a split slot pays one small file per slice
+    — bounded by that slot's split count, never by the task count; at
+    production advisory sizes this is a small constant on top of one
+    file per dir.)  A fixed salt is wrong in both directions at large scale: the
+    hottest family dir gets `write_salt` arbitrarily-large files while
+    every cold dir pays `write_salt` tiny ones (the datagen v2-layout
+    lesson, BENCH/RESULTS_r5.md §5b).  Below ~512 MB the salt path
+    stays the default because AQE's coalescing caps write parallelism
+    exactly when the whole input fits in a handful of advisory chunks
+    (measured 13% slower at local[32] on 2M rows; see
+    `cluster_partitions`).  `write_salt`/`cluster_partitions` are
+    ignored in rebalance mode.
 
     `cluster=False` skips that shuffle: correct ONLY when the input is
     already laid out by (source, bucket) — e.g. scanning the production
@@ -68,7 +88,9 @@ def route(df: DataFrame, sinks_path: str, n_buckets: int = 4,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)
     if "bucket" not in df.columns:
         df = with_bucket(df, n_buckets)
-    if cluster:
+    if cluster == "rebalance":
+        df = df.hint("rebalance", *SINK_PARTITIONS)
+    elif cluster:
         n = cluster_partitions or spark.sparkContext.defaultParallelism * 2
         # salt hash MUST be independent of the bucket hash: bucket is
         # crc32(doc_id) % n_buckets, so crc32(doc_id) % write_salt is
@@ -85,12 +107,15 @@ def route(df: DataFrame, sinks_path: str, n_buckets: int = 4,
 
 def compact_sinks(spark: SparkSession, sinks_path: str,
                   write_salt: int = 1,
-                  cluster_partitions: int | None = None) -> dict:
+                  cluster_partitions: int | None = None,
+                  cluster: bool | str = True) -> dict:
     """Post-ingest small-file compaction — the maintenance job every
     partitioned production table needs: N streaming/incremental writes
     leave `salt x runs` files per (family, source, bucket) dir; this
     rewrites each dir's files into `write_salt` (default 1) without
-    changing a single row.
+    changing a single row.  (`cluster="rebalance"` passes through to
+    route(): at 100 TB a compaction wants advisory-sized files per dir,
+    not a fixed count.)
 
     Mechanics: one clustered read-rewrite into a staging dir (the same
     single-pass partitionBy shape as route(), static overwrite — this
@@ -117,7 +142,7 @@ def compact_sinks(spark: SparkSession, sinks_path: str,
     before = _data_files(sinks_path)
     staging = sinks_path.rstrip("/") + "__compacting"
     shutil.rmtree(staging, ignore_errors=True)
-    route(df, staging, write_salt=write_salt,
+    route(df, staging, write_salt=write_salt, cluster=cluster,
           cluster_partitions=cluster_partitions, overwrite_mode="static")
     old = sinks_path.rstrip("/") + "__precompact"
     shutil.rmtree(old, ignore_errors=True)

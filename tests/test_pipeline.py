@@ -135,3 +135,63 @@ def test_compact_sinks_preserves_rows_and_reduces_files(spark, tmp_path):
     assert "family=unknown" in fams and len(fams) > 3
     assert not os.path.exists(sinks + "__compacting")
     assert not os.path.exists(sinks + "__precompact")
+
+
+def test_route_rebalance_mode_bytes_proportional(spark, tmp_path):
+    """cluster='rebalance': AQE runtime stats size files-per-dir by each
+    dir's bytes — hot dirs split past the advisory size, the cold tail
+    packs several dirs per task but still writes one file per dir — and
+    every row/token survives bit-identically (the binding invariant)."""
+    import os
+    from collections import Counter as C
+
+    from logparse_spark.engine import parse_sequences
+    from logparse_spark.operators.enrich import enrich, rules_dim
+    from logparse_spark.operators.route import read_sink, route, with_bucket
+    from logparse_spark.sources.datagen import nodes_dim
+
+    seq = generate_sequences(spark, 2500, partitions=8)
+    enriched = with_bucket(
+        enrich(parse_sequences(with_bucket(seq, 2)), nodes_dim(spark), rules_dim(spark)), 2)
+    sinks = str(tmp_path / "rebalance_sinks")
+    adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    old = spark.conf.get(adv)
+    spark.conf.set(adv, "64k")  # tiny advisory -> hot dirs must split
+    try:
+        route(enriched, sinks, n_buckets=2, cluster="rebalance")
+    finally:
+        spark.conf.set(adv, old)
+    before = {r["doc_id"]: r["tokens"]
+              for r in enriched.select("doc_id", "tokens").collect()}
+    after = {r["doc_id"]: r["tokens"]
+             for r in read_sink(spark, sinks).select("doc_id", "tokens").collect()}
+    assert after == before  # no row dropped/duped, tokens bit-identical
+    per_dir = C()
+    for root, _, files in os.walk(sinks):
+        for f in files:
+            if f.endswith(".parquet"):
+                per_dir[root] += 1
+    # the zipf-hot slots exceeded 64k and were split by AQE...
+    assert max(per_dir.values()) > 1, dict(per_dir)
+    # ...while fully-cold slots coalesce to one file per dir
+    assert min(per_dir.values()) == 1
+    # files-per-dir is bounded by its slot's split count (a cold dir
+    # co-hashed with a hot one pays one file per slice), never by the
+    # task count: the total stays a small multiple of the dir count,
+    # not O(tasks x dirs)
+    assert sum(per_dir.values()) < 3 * len(per_dir), sum(per_dir.values())
+    assert max(per_dir.values()) <= 8, dict(per_dir)
+
+
+def test_route_clustering_mode_selection():
+    """Scale-adaptivity contract: measured-small inputs keep the pinned
+    salt (one file per dir, parallel write); measured-big inputs take
+    AQE rebalance (bytes-proportional files); unknown size fails toward
+    the protective salt, never toward a serialized tiny rebalance;
+    pre-clustered inputs skip the shuffle entirely."""
+    from logparse_spark.main import _route_clustering
+
+    assert _route_clustering(215 << 20, False) == (1, True)
+    assert _route_clustering(2 << 30, False) == (1, "rebalance")
+    assert _route_clustering(0, False) == (2, True)
+    assert _route_clustering(2 << 30, True)[1] is False
