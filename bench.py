@@ -559,11 +559,11 @@ column reports how the data-proportional part scales once that floor is
 removed — the adjustment a 100 TB input performs physically (a ~30 s
 sandbox run is 40-60% fixed floor; a one-hour production run is ~0%).
 The strongest evidence is the REAL-executor pair
-(BENCH/scaling_cluster_r5.json, local-cluster[1,8] vs [4,8], separate
-executor JVMs + loopback shuffle, clean window): raw 1->4 efficiency
-0.563, floor-subtracted **1.02** — the distributed fraction scales
-perfectly; the whole raw gap is the fixed floor.  See
-BENCH/RESULTS_r5.md for the decomposition table.
+(BENCH/scaling_cluster_r5_settle.json, local-cluster[1,8] vs [4,8],
+separate executor JVMs + loopback shuffle, settle-gated clean window,
+1%-spread legs): raw 1->4 efficiency 0.635, floor-subtracted
+**0.936** — the distributed fraction scales ~1.0; the raw gap is the
+fixed floor.  See BENCH/RESULTS_r5.md for the decomposition table.
 
 Confs: AQE on, shuffle.partitions = cores, spark.task.cpus = 2 (one JVM
 thread + one dedicated Python worker per 2 cores — the executor model;
