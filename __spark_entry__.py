@@ -1258,7 +1258,7 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY CAST(('0x' || substring(md5(doc_id || chr(31) || '42'), 1, 15))
                                  AS BIGINT) ASC,
                              doc_id ASC) AS rk
-                FROM documents) WHERE rk <= 3
+                FROM documents WHERE doc_id IS NOT NULL) WHERE rk <= 3
         """,
         "q_chunk_documents": f"""
             WITH {_CHUNK_CTES}

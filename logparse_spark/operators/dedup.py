@@ -262,6 +262,9 @@ _NON_SCAN_NODES = (
     "Generate", "Deduplicate", "Distinct", "Union", "Intersect", "Except",
     "GlobalLimit", "LocalLimit", "Expand", "Sample", "CoGroup", "MapInPandas",
     "MapInArrow", "FlatMapGroupsInPandas", "MapGroups", "MapElements",
+    # ADVICE r5: rebalance hints shuffle (RebalancePartitions), and
+    # Offset/Tail change the row count — all three must not be probed
+    "Rebalance", "Offset", "Tail",
 )
 
 

@@ -85,11 +85,17 @@ def decode_bmp(payload: bytes) -> dict:
     compression = struct.unpack_from("<I", payload, 30)[0]
     if planes != 1 or bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP variant (w={w}, h={h})")
+    # spec: negative biHeight = rows stored TOP-DOWN (ADVICE r5 — the
+    # negative count previously reached np.frombuffer and blew up with
+    # an opaque numpy error instead of decoding)
+    top_down, h = h < 0, abs(h)
     row = w * 3
     stride = row + ((-row) % 4)
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
                          offset=data_off).reshape(h, stride)
-    pixels = rows[::-1, :row]  # undo bottom-up storage, drop padding
+    pixels = rows[:, :row] if top_down else rows[::-1, :row]
     return {
         "width": w, "height": h, "n_pixels": w * h,
         "pixel_sum": int(pixels.astype(np.int64).sum()),

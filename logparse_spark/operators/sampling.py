@@ -73,7 +73,13 @@ def stratified_sample(
 
     Implemented as rank-by-hash within each stratum: equivalent to a
     uniform without-replacement draw of k, but deterministic and
-    engine-checkable.  Plan shape: ONE shuffle on the stratum key, and
+    engine-checkable.  Null-key rows are EXCLUDED up front (ADVICE r5:
+    a NULL `_hash60` sorts FIRST under Spark's ASC-nulls-first default,
+    so a null-key row would steal rank 1 from a real document; the
+    explicit filter keeps `_hash60`'s exclusion invariant without
+    depending on either engine's null-ordering default — DuckDB's ASC
+    is NULLS LAST, so the two engines would otherwise disagree).
+    Plan shape: ONE shuffle on the stratum key, and
     the rank<=k predicate becomes a WindowGroupLimit, so each map task
     pre-truncates its partition to its local top-k BEFORE the shuffle —
     the shuffle carries O(tasks x k) rows per stratum, not the corpus
@@ -92,7 +98,8 @@ def stratified_sample(
         _hash60(F.col(key_col), seed).asc(), F.col(key_col).asc()
     )
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        df.where(F.col(key_col).isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )

@@ -15,6 +15,8 @@ All math is JVM higher-order functions (zip_with/aggregate) — no UDF.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -163,6 +165,18 @@ def centroid_literal(rows) -> Column:
     serial driver work, maximally exposed to host noise).  One formatted
     `F.expr` string is one round-trip; `repr(float)` round-trips every
     double exactly, so plan semantics are bit-identical."""
+    rows = list(rows)
+    if not rows:
+        raise ValueError(
+            "centroid_literal needs at least one centroid: an empty "
+            "array() literal is typeless and fails downstream analysis"
+        )
+    for r in rows:
+        if not all(math.isfinite(float(x)) for x in r["centroid"]):
+            raise ValueError(
+                f"centroid {r['centroid_id']} contains non-finite values "
+                "(nan/inf have no SQL double literal)"
+            )
     # the D suffix is load-bearing: a bare `0.1` parses as DECIMAL in
     # Spark SQL (unlike F.lit, which makes a double) and silently turns
     # the downstream cosine math into decimal arithmetic — measured 5x

@@ -301,6 +301,20 @@ def test_direct_scan_detection_ignores_literals_in_plan_text(spark, tmp_path):
     assert dd._is_direct_file_scan(scan)
 
 
+def test_direct_scan_detection_rejects_rebalance_and_offset(spark, tmp_path):
+    # ADVICE r5: a rebalance hint plans as RebalancePartitions (a shuffle
+    # the probe would eagerly finalize) and Offset changes the row count;
+    # neither may be classified as a direct file scan
+    path = str(tmp_path / "reb_docs")
+    spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(20)],
+        "doc_id string, text string",
+    ).write.parquet(path)
+    assert not dd._is_direct_file_scan(spark.read.parquet(path).hint("rebalance"))
+    assert not dd._is_direct_file_scan(
+        spark.read.parquet(path).orderBy("doc_id").offset(3))
+
+
 def test_spread_text_leaves_well_split_input_alone(spark):
     # a well-split input keeps its plan — _spread_text adds no Exchange
     # of its own beyond whatever the input already contains

@@ -125,3 +125,29 @@ def test_wav_roundtrip_property():
         assert d["sample_sum"] == int(samples.astype(np.int64).sum())
 
     check()
+
+
+def test_bmp_top_down_variant():
+    # ADVICE r5: negative biHeight is the spec's TOP-DOWN row order; it
+    # must decode to the same pixels as its bottom-up twin, not hit
+    # np.frombuffer with a negative count
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    bgr = rng.integers(0, 256, size=(5, 3, 3), dtype=np.int64).astype(np.uint8)
+    bottom_up = mm.encode_bmp(bgr)
+    ref = mm.decode_bmp(bottom_up)
+    # rewrite the header with biHeight = -5 and the rows in natural order
+    row, pad = 3 * 3, (-(3 * 3)) % 4
+    body = b"".join(bgr[r].tobytes() + b"\x00" * pad for r in range(5))
+    top_down = bottom_up[:18] + struct.pack("<ii", 3, -5) + bottom_up[26:54] + body
+    got = mm.decode_bmp(top_down)
+    assert got == ref  # same width/height/n_pixels/pixel_sum
+    # zero/negative width and zero height stay explicit codec errors
+    bad = bottom_up[:18] + struct.pack("<ii", 3, 0) + bottom_up[26:]
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        mm.decode_bmp(bad)

@@ -109,6 +109,17 @@ def test_null_keys_excluded_everywhere(spark):
     train, hold = sp.split_train_holdout(df, 0.5)
     both = {r["doc_id"] for r in train.collect()} | {r["doc_id"] for r in hold.collect()}
     assert None not in both and both == {"a", "b"}
+    # ADVICE r5: stratified_sample too — under Spark's ASC nulls-first
+    # default a NULL _hash60 took rank 1 and DISPLACED a real doc
+    # (keys [a,b,c,NULL] with k=2 returned [b, NULL])
+    strat = spark.createDataFrame(
+        [("a", "en"), ("b", "en"), ("c", "en"), (None, "en")],
+        "doc_id string, lang string")
+    kept = {r["doc_id"] for r in sp.stratified_sample(strat, "lang", 2).collect()}
+    assert None not in kept and len(kept) == 2 and kept <= {"a", "b", "c"}
+    # and a stratum smaller than k must still never backfill with nulls
+    kept4 = {r["doc_id"] for r in sp.stratified_sample(strat, "lang", 4).collect()}
+    assert kept4 == {"a", "b", "c"}
 
 
 def test_stratified_sample_rejects_rk_collision(spark):

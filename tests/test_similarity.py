@@ -93,3 +93,19 @@ def test_brute_force_plan_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin BuildRight" in plan, plan[:3000]
     # map-side partial top-k prunes before the one shuffle
     assert "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_centroid_literal_rejects_empty_and_nonfinite():
+    # ADVICE r5: an empty array() literal is typeless (opaque analysis
+    # error downstream) and repr(nan)+'D' is unparseable SQL — both must
+    # fail fast with a clear message
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one centroid"):
+        sim.centroid_literal([])
+    with pytest.raises(ValueError, match="non-finite"):
+        sim.centroid_literal(
+            [{"centroid_id": 7, "centroid": [0.5, float("nan")]}])
+    with pytest.raises(ValueError, match="non-finite"):
+        sim.centroid_literal(
+            [{"centroid_id": 7, "centroid": [float("inf"), 1.0]}])
