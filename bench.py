@@ -192,7 +192,10 @@ def run_pipeline_once(spark, corpus_path: str, out: str) -> tuple[float, int]:
     # bench measures the pipeline, not the janitor.
     os.sync()
     t0 = time.time()
-    metrics = run_pipeline(spark, seq, out, n_buckets=2, resume=False,
+    # n_buckets=None -> auto by input bytes (r6 floor fix: a 20k-row
+    # floor run resolves to 1 bucket instead of writing a 100TB-sized
+    # (family, source, bucket) layout; the 5M corpus resolves by bytes)
+    metrics = run_pipeline(spark, seq, out, n_buckets=None, resume=False,
                            input_clustered=False)
     dt = time.time() - t0
     return dt, int(metrics["routed_rows"])

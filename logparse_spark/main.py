@@ -48,6 +48,42 @@ def _input_bytes(df) -> int:
         return 0
 
 
+def resolve_n_buckets(scan_bytes: int, out: str) -> int:
+    """Adaptive resume-granularity bucket count, stable per output dir.
+
+    The (source, bucket) resume quantum only needs to be STABLE PER
+    OUTPUT, not a global constant (VERDICT r5): a 20k-row run writing
+    the 3,432-file (family, source, bucket) layout sized for 100 TB
+    pays ~14 s of pure file-commit floor at 32 cores.  Sizing rule: one
+    bucket per ~512 MB of measured compressed input, rounded up to a
+    power of two, clamped to [1, 1024] — at 100 TB that is the 1024 cap
+    (50 sources x 1024 buckets ≈ 2 GB resume quanta), at sandbox sizes
+    it is 1-4; unknown size (non-file sources) takes the protective 4.
+
+    Stability: the resolved count is persisted to
+    ``<out>/ledger/_meta.json`` on first resolution and ALWAYS reused
+    when present, so resumes and appends into the same output keep the
+    ledger key space and the sink dir layout consistent even as the
+    input grows.  Callers that pass an explicit ``n_buckets`` bypass
+    this entirely (tests pin their own).
+    """
+    import math
+
+    meta_path = os.path.join(out, "ledger", "_meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            return int(json.load(f)["n_buckets"])
+    if scan_bytes <= 0:
+        n = 4
+    else:
+        target = scan_bytes / (512 << 20)
+        n = 1 if target <= 1 else min(1024, 1 << math.ceil(math.log2(target)))
+    os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump({"n_buckets": n, "resolved_from_bytes": scan_bytes}, f)
+    return n
+
+
 def _route_clustering(scan_bytes: int, input_clustered: bool) -> tuple[int, bool | str]:
     """(write_salt, cluster_mode) for the sink write, by MEASURED input
     size.  <= 512 MB: pinned-salt shuffle, one file per dir (AQE
@@ -71,7 +107,7 @@ def run_pipeline(
     spark,
     sequences_df,
     out: str,
-    n_buckets: int = 4,
+    n_buckets: int | None = None,
     resume: bool = True,
     salt: int = 8,
     repartition_to: int | None = None,
@@ -95,6 +131,9 @@ def run_pipeline(
     run_id = uuid.uuid4().hex[:12]
     t0 = time.time()
 
+    scan_bytes = _input_bytes(sequences_df)
+    if n_buckets is None:
+        n_buckets = resolve_n_buckets(scan_bytes, out)
     df = with_bucket(sequences_df, n_buckets)
     ledger = Ledger(spark, f"{out}/ledger")
     if resume:
@@ -132,7 +171,6 @@ def run_pipeline(
 
     from logparse_spark.operators.aggregate import grain_counts
 
-    scan_bytes = _input_bytes(sequences_df)
     if cache_mode == "auto":
         # threshold on COMPRESSED scan bytes; token sequences expand
         # ~6-10x from parquet to in-memory rows
@@ -203,7 +241,9 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=100_000, help="synthetic row count")
     ap.add_argument("--out", required=True)
     ap.add_argument("--cores", type=int, default=None)
-    ap.add_argument("--buckets", type=int, default=4)
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="resume-granularity bucket count (default: auto "
+                         "by input bytes, persisted per output dir)")
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
@@ -221,7 +261,8 @@ def main() -> None:
     else:
         data_path = f"{args.out}/sequences"
         if not os.path.isdir(data_path):
-            write_sequences(spark, data_path, args.rows, seed=args.seed, n_buckets=args.buckets)
+            write_sequences(spark, data_path, args.rows, seed=args.seed,
+                            n_buckets=args.buckets or 4)
         seq = spark.read.parquet(data_path).drop("bucket")
 
     metrics = run_pipeline(

@@ -50,3 +50,57 @@ def test_pending_partitions_anti_join(spark, tmp_path):
     assert ledger.pending(seq).count() == all_parts.count()
     ledger.commit(all_parts.limit(3).selectExpr("source", "bucket", "1 as rows"), "run0")
     assert ledger.pending(seq).count() == all_parts.count() - 3
+
+
+def test_overwrite_mode_split_fresh_static_resume_dynamic(spark, tmp_path, monkeypatch):
+    # VERDICT r5 #6: fresh full runs (resume=False) must take the cheap
+    # static-overwrite commit; resume runs must keep dynamic (partial
+    # idempotent partition rewrite).  Spy on route() to pin which mode
+    # each path requests AND check the session conf route() actually set.
+    import logparse_spark.main as mainmod
+    from logparse_spark.operators import route as routemod
+
+    seen = []
+    real_route = routemod.route
+
+    def spy(df, sinks_path, **kw):
+        seen.append(kw.get("overwrite_mode"))
+        return real_route(df, sinks_path, **kw)
+
+    monkeypatch.setattr(mainmod, "route", spy)
+    seq = generate_sequences(spark, 300, partitions=2)
+    run_pipeline(spark, seq, str(tmp_path / "fresh"), n_buckets=2, resume=False)
+    assert seen == ["static"]
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
+    run_pipeline(spark, seq, str(tmp_path / "res"), n_buckets=2, resume=True)
+    assert seen == ["static", "dynamic"]
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "dynamic"
+
+
+def test_auto_n_buckets_resolution(spark, tmp_path):
+    # r6: n_buckets=None resolves by input bytes, persists per output
+    # dir, and ALWAYS reuses the persisted value (ledger-key stability)
+    from logparse_spark.main import resolve_n_buckets
+
+    out = str(tmp_path / "auto")
+    assert resolve_n_buckets(1 << 20, out) == 1          # tiny input
+    assert resolve_n_buckets(100 << 40, out) == 1        # reused, not 1024
+    out2 = str(tmp_path / "auto2")
+    assert resolve_n_buckets(100 << 40, out2) == 1024    # 100 TB -> cap
+    out3 = str(tmp_path / "auto3")
+    assert resolve_n_buckets(3 << 30, out3) == 8         # 3 GB -> 6x512MB -> 8
+    out4 = str(tmp_path / "auto4")
+    assert resolve_n_buckets(0, out4) == 4               # unknown: protective
+
+    # end-to-end: an auto run on a tiny parquet input resolves to 1
+    # bucket, persists it, and a resume into the same out dir reuses it
+    src = str(tmp_path / "seq_src")
+    generate_sequences(spark, 300, partitions=2).write.parquet(src)
+    seq = spark.read.parquet(src)
+    out5 = str(tmp_path / "auto_run")
+    run_pipeline(spark, seq, out5, n_buckets=None, resume=True)
+    import json as _json
+    with open(f"{out5}/ledger/_meta.json") as f:
+        assert _json.load(f)["n_buckets"] == 1
+    m2 = run_pipeline(spark, seq, out5, n_buckets=None, resume=True)
+    assert m2["routed_rows"] == 0  # ledger keys consistent -> no-op
