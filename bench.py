@@ -167,14 +167,15 @@ def pipeline_rows(sf: float) -> int:
 _CORPUS_LAYOUT_VERSION = 3
 
 
-def ensure_corpus(spark, n: int, n_buckets: int = 4) -> str:
+def ensure_corpus(spark, n: int, n_buckets: int = 4, versioned: bool = False) -> str:
     """Materialize the synthetic sequences corpus once (not timed)."""
     from logparse_spark.sources.datagen import write_sequences
 
-    path = os.path.join(DATA_DIR, f"bench_seq_{n}_v{_CORPUS_LAYOUT_VERSION}")
+    tag = "_versioned" if versioned else ""
+    path = os.path.join(DATA_DIR, f"bench_seq_{n}{tag}_v{_CORPUS_LAYOUT_VERSION}")
     marker = os.path.join(path, "_SUCCESS_LOCAL")
     if not os.path.exists(marker):
-        write_sequences(spark, path, n, n_buckets=n_buckets)
+        write_sequences(spark, path, n, n_buckets=n_buckets, versioned=versioned)
         open(marker, "w").close()
     return path
 
@@ -392,6 +393,64 @@ def scaling_bench(legs=(4, 8, 16, 32), runs: int = 3, n: int | None = None,
     }
 
 
+def versioned_bench(runs: int = 3, n: int | None = None) -> dict:
+    """Flagship pipeline on the mixed-fleet VERSIONED corpus vs the
+    bit-frozen default corpus — same session, same row count
+    (VERDICT r5 #5).  The versioned corpus pins a deterministic version
+    family per source (per-family template subsets + version-correct
+    header formats), so this exercises all 300 rules under a realistic
+    version mix in the HOT PATH — guarding against the parse stage
+    having been inadvertently tuned to the frozen corpus's rule mix.
+    Reports throughput AND unknown-rate side by side."""
+    from logparse_spark.main import run_pipeline
+    from logparse_spark.session import get_spark
+
+    pre = host_probe()
+    n = n or pipeline_rows(_sf_of(SF_DIR))
+    spark = get_spark(
+        app_name="bench-versioned", cores=CPUS,
+        extra={"spark.sql.files.maxPartitionBytes": "16m", "spark.task.cpus": "2"},
+    )
+    corpora = {"frozen": ensure_corpus(spark, n),
+               "versioned": ensure_corpus(spark, n, versioned=True)}
+    for name, path in corpora.items():  # warm-ups (discarded)
+        run_pipeline_once(spark, path, f"/tmp/lp_vb_{name}_warm")
+    _settle()
+    res = {}
+    for name, path in corpora.items():
+        seq = spark.read.parquet(path).drop("bucket")
+        times, routed, unknown = [], 0, 0
+        for i in range(runs):
+            o = f"/tmp/lp_vb_{name}_{i}"
+            shutil.rmtree(o, ignore_errors=True)
+            os.sync()
+            t0 = time.time()
+            m = run_pipeline(spark, seq, o, n_buckets=None, resume=False,
+                             input_clustered=False)
+            times.append(time.time() - t0)
+            routed, unknown = int(m["routed_rows"]), int(m["unknown_rows"])
+        med, disc = _median_of_clean(times)
+        res[name] = {
+            "median_sec": round(med, 2),
+            "runs_sec": [round(t, 2) for t in times],
+            "discarded_sec": [round(t, 2) for t in disc],
+            "rows": routed,
+            "rows_per_sec": round(routed / med, 1),
+            "unknown_rows": unknown,
+            "unknown_rate": round(unknown / max(1, routed), 5),
+        }
+    spark.stop()
+    post = host_probe()
+    return {
+        "mode": "versioned-vs-frozen", "rows": n, "legs": res,
+        "throughput_ratio_versioned_over_frozen": round(
+            res["versioned"]["rows_per_sec"] / res["frozen"]["rows_per_sec"], 3),
+        "cpus": CPUS, "runs_per_leg": runs,
+        "host": {"pre": pre, "post": post},
+        "host_clean": _probe_clean(pre) and _probe_clean(post),
+    }
+
+
 def cluster_bench(workers=(1, 4), cores_per_worker: int = 8, mem_mb: int = 8192,
                   runs: int = 3, n: int | None = None,
                   floor_rows: int | None = 20_000) -> dict:
@@ -582,6 +641,10 @@ def main() -> None:
     ap.add_argument("--cluster", action="store_true",
                     help="N vs 4N with real separate executor processes "
                          "(local-cluster[1,8,m] vs local-cluster[4,8,m])")
+    ap.add_argument("--versioned", action="store_true",
+                    help="flagship pipeline on the mixed-fleet versioned "
+                         "corpus vs the frozen corpus (throughput + "
+                         "unknown-rate side by side)")
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--mode", choices=["disk", "tmpfs", "both"], default="both",
@@ -596,7 +659,14 @@ def main() -> None:
                     help="persist JSON only; BASELINE.md is hand-curated "
                          "from several experiments")
     args = ap.parse_args()
-    if args.cluster:
+    if args.versioned:
+        res = versioned_bench(runs=args.runs, n=args.rows)
+        os.makedirs("BENCH", exist_ok=True)
+        suffix = f"_{args.tag}" if args.tag else ""
+        with open(f"BENCH/versioned{suffix}.json", "w") as f:
+            json.dump(res, f)
+        print(json.dumps(res))
+    elif args.cluster:
         res = cluster_bench(runs=args.runs, n=args.rows)
         os.makedirs("BENCH", exist_ok=True)
         suffix = f"_{args.tag}" if args.tag else ""

@@ -417,10 +417,14 @@ def _source_salts(n: int, n_buckets: int) -> list[int]:
 def write_sequences(
     spark: SparkSession, path: str, n: int, seed: int = 42,
     n_buckets: int = 4, partitions: int | None = None,
+    versioned: bool = False,
 ) -> None:
     """Materialize the corpus with the production partition layout
-    (source, bucket(doc_id)) — partition-pruned scans + ledger granularity."""
-    df = generate_sequences(spark, n, seed, partitions)
+    (source, bucket(doc_id)) — partition-pruned scans + ledger granularity.
+
+    `versioned=True` materializes the mixed-fleet corpus (per-source
+    version family, family-specific templates + header formats)."""
+    df = generate_sequences(spark, n, seed, partitions, versioned=versioned)
     df = df.withColumn("bucket", F.pmod(F.crc32(F.col("doc_id")), F.lit(n_buckets)))
     # cluster on the partition keys (+salt) so files-per-dir stays bounded
     # instead of tasks x dirs (same discipline as operators/route.py);

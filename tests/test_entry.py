@@ -66,3 +66,26 @@ def test_query_parity(spark, duck, name):
     assert not bad_types, f"{name}: dtype mismatch {bad_types}"
     assert len(sv) == len(dv), f"{name}: {len(sv)} vs {len(dv)} rows"
     assert sv == dv, f"{name}: values differ"
+
+
+def test_approx_distinct_bounded_error(spark, duck):
+    """VERDICT r5 #4: q_approx_distinct is the one driver query with no
+    value-level check (rows-only, approximate by nature).  Close the gap
+    in tests with a bounded-error oracle: HLL++ is deterministic for a
+    fixed input, and Spark documents approx_count_distinct's default
+    relative standard deviation as 0.05 — assert every group's estimate
+    is within 3*rsd of DuckDB's exact COUNT(DISTINCT), and the median
+    sketch within the value range."""
+    got = {r["event_type"]: r for r in
+           entrymod.queries()["q_approx_distinct"](spark, SF).collect()}
+    exact = {r[0]: (r[1], r[2], r[3]) for r in duck.sql(
+        """SELECT event_type, COUNT(DISTINCT user_id),
+                  MIN(value), MAX(value)
+           FROM events GROUP BY event_type""").fetchall()}
+    assert set(got) == set(exact) and got
+    rsd = 0.05
+    for et, (exact_users, vmin, vmax) in exact.items():
+        approx = got[et]["approx_users"]
+        assert abs(approx - exact_users) <= max(1, 3 * rsd * exact_users), (
+            et, approx, exact_users)
+        assert vmin <= got[et]["p50_value"] <= vmax, et

@@ -18,8 +18,9 @@ def test_extract_features_shape_and_determinism(spark):
 
 
 def test_decode_stub_raises_for_compressed_codecs():
+    # jpeg remains the one env-stubbed codec (PNG is native since r6)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG fake")
+        mm.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
 def test_bmp_roundtrip():
@@ -151,3 +152,78 @@ def test_bmp_top_down_variant():
 
     with pytest.raises(ValueError, match="unsupported BMP"):
         mm.decode_bmp(bad)
+
+
+def test_png_roundtrip_every_filter():
+    import numpy as np
+
+    px = mm._hash_stream("t:png", 9 * 7 * 3).reshape(7, 9, 3)
+    for f in range(5):  # each filter type alone, whole image
+        d = mm.decode_png(mm.encode_png(px, row_filters=[f]))
+        assert (d["width"], d["height"], d["n_pixels"]) == (9, 7, 63), f
+        assert d["pixel_sum"] == int(px.astype(np.int64).sum()), f
+    # default cycling filters + dispatch through decode_image
+    payload = mm.encode_png(px)
+    assert payload[:8] == mm._PNG_SIG
+    assert mm.decode_image(payload) == mm.decode_png(payload)
+
+
+def test_png_roundtrip_property():
+    """Property: encode->decode is exact for arbitrary dimensions and
+    filter choices (incl. w=1, where left/upleft are always zero)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(1, 20), st.integers(1, 14), st.integers(0, 2**31 - 1),
+           st.lists(st.integers(0, 4), min_size=1, max_size=6))
+    @settings(max_examples=60, deadline=None)
+    def check(w, h, seed, filters):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        d = mm.decode_png(mm.encode_png(px, row_filters=filters))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["pixel_sum"] == int(px.astype(np.int64).sum())
+
+    check()
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import struct
+
+    import numpy as np
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = mm.encode_png(px)
+    # flip one IDAT byte -> chunk CRC must catch it
+    idat_at = good.index(b"IDAT") + 4
+    bad = bytearray(good)
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(bad))
+    # not a PNG at all
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"XX")
+    # unsupported variant: rewrite IHDR as RGBA (color type 6), re-CRC
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    bad2 = mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr) + good[8 + 12 + 13:]
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        mm.decode_png(bad2)
+    # truncated: signature only
+    with pytest.raises(ValueError, match="missing IHDR"):
+        mm.decode_png(mm._PNG_SIG)
+
+
+def test_synth_media_emits_both_image_codecs():
+    rows, truths = mm.synth_media_rows(n=24)
+    codecs = {r[3]["codec"] for r in rows if r[1] == "image"}
+    assert codecs == {"bmp", "png"}
+    # every image payload decodes to its generation-time truth
+    by_id = {t["media_id"]: t for t in truths}
+    for mid, kind, payload, _meta in rows:
+        if kind != "image":
+            continue
+        d = mm.decode_image(bytes(payload))
+        t = by_id[mid]
+        assert (d["width"], d["height"]) == (t["width"], t["height"])
+        assert d["pixel_sum"] == t["content_sum"]
