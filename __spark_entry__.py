@@ -694,15 +694,16 @@ def q_pipeline_promoted(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """REAL multimodal decode, value-level oracled (round 5): synth_media
-    emits genuine 24-bit BMP and RIFF/WAVE PCM16 payloads; the
-    mapInPandas stage parses them with pure-numpy decoders (header walk,
-    row padding, chunk scan) plus byte checksums for opaque video
-    containers.  The oracle is a VALUES literal of per-kind aggregates
-    computed at GENERATION time from the source arrays — if the
-    distributed decode mangles a single pixel byte or PCM sample, the
-    checksum hash fails.  (Compressed codecs stay env-stubbed: no
-    PIL/ffmpeg in this container.)"""
+    """REAL multimodal decode, value-level oracled: synth_media emits
+    genuine 24-bit BMP, 8-bit truecolor PNG (round 6: stdlib-zlib
+    inflate + all five scanline filters), and RIFF/WAVE PCM16 payloads;
+    the mapInPandas stage parses them with pure-numpy/stdlib decoders
+    (header walk, row padding, filter reversal, chunk scan) plus byte
+    checksums for opaque video containers.  The oracle is a VALUES
+    literal of per-kind aggregates computed at GENERATION time from the
+    source arrays — if the distributed decode mangles a single pixel
+    byte or PCM sample, the checksum hash fails.  (Only jpeg stays
+    env-stubbed: no PIL/ffmpeg in this container.)"""
     media = mm.synth_media(spark, n=96)
     feats = mm.extract_media_features(media)
     return feats.groupBy("kind").agg(
