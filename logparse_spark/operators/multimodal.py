@@ -200,9 +200,15 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color}, "
             f"interlace={interlace}); 8-bit RGB non-interlaced only")
+    if w == 0 or h == 0:
+        raise ValueError(f"unsupported PNG dimensions (w={w}, h={h})")
     bpp, stride = 3, w * 3
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    # cap inflation at the IHDR-declared size: a mismatched (or crafted)
+    # stream fails the exact-length check instead of ballooning memory
+    expected = h * (stride + 1)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG pixel data size mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes, rows = arr[:, 0], arr[:, 1:].astype(np.int32)

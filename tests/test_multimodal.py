@@ -227,3 +227,30 @@ def test_synth_media_emits_both_image_codecs():
         t = by_id[mid]
         assert (d["width"], d["height"]) == (t["width"], t["height"])
         assert d["pixel_sum"] == t["content_sum"]
+
+
+def test_png_rejects_oversized_or_undersized_streams():
+    import struct
+
+    import numpy as np
+
+    import zlib
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = mm.encode_png(px)
+    # IHDR says 2x2 but the IDAT stream inflates to a larger body:
+    # bounded decompression must fail the exact-length check, never
+    # balloon memory past the declared size
+    big_body = bytes(21) * 40
+    forged = (mm._PNG_SIG
+              + mm._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+              + mm._png_chunk(b"IDAT", zlib.compress(big_body))
+              + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        mm.decode_png(forged)
+    # zero-dimension IHDR is an explicit codec error
+    zdim = (mm._PNG_SIG
+            + mm._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 2, 8, 2, 0, 0, 0))
+            + good[8 + 12 + 13:])
+    with pytest.raises(ValueError, match="dimensions"):
+        mm.decode_png(zdim)
