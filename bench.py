@@ -621,11 +621,13 @@ column reports how the data-proportional part scales once that floor is
 removed — the adjustment a 100 TB input performs physically (a ~30 s
 sandbox run is 40-60% fixed floor; a one-hour production run is ~0%).
 The strongest evidence is the REAL-executor pair
-(BENCH/scaling_cluster_r5_settle.json, local-cluster[1,8] vs [4,8],
-separate executor JVMs + loopback shuffle, settle-gated clean window,
-1%-spread legs): raw 1->4 efficiency 0.635, floor-subtracted
-**0.936** — the distributed fraction scales ~1.0; the raw gap is the
-fixed floor.  See BENCH/RESULTS_r5.md for the decomposition table.
+(BENCH/scaling_cluster_r6.json, local-cluster[1,8] vs [4,8], separate
+executor JVMs + loopback shuffle, settle-gated clean window, 5M-row
+corpus, every leg >= 60 s per the protocol, zero discarded runs):
+raw 1->4 efficiency **0.784**, floor-subtracted **0.855** — on legs
+long enough that the fixed floor is only 8-15% of wall.  (r5, same
+code on 24-63 s legs: raw 0.635 / floor-subtracted 0.936.)  See
+BENCH/RESULTS_r6.md for the decomposition.
 
 Confs: AQE on, shuffle.partitions = cores, spark.task.cpus = 2 (one JVM
 thread + one dedicated Python worker per 2 cores — the executor model;
