@@ -33,6 +33,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + spread: the sf tables are single-row-group parquet files, so
+    a scan is ONE task no matter the split size — any query whose map
+    side is expression-heavy (regex/HOF/UDTF/crypto-hash per doc) would
+    run that work serially (r7 measured: the 50k-doc sf1.0 scans put
+    3-30 s of per-doc work on one core).  The round-robin repartition
+    costs one few-MB shuffle and fires only when the scan under-splits
+    the cluster; results are partitioning-independent so every oracle
+    hash is unchanged."""
+    from logparse_spark.operators.similarity import _spread
+
+    df = _t(spark, sf_dir, name)
+    return _spread(df, *df.columns)
+
+
 def _documents_as_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize documents.text into the binding sequences shape."""
     import pandas as pd
@@ -421,7 +436,7 @@ def q_asof_prior_click(spark, sf):
 
 
 def q_dedup_exact(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _ts(spark, sf, "documents")  # spread: md5+sha2 per doc map-side
     return docs.groupBy("lang").agg(
         F.count("*").alias("docs"),
         F.countDistinct(F.md5("text")).alias("uniq_docs"),
@@ -528,7 +543,7 @@ def q_sim_topk_ivf(spark, sf):
 
 
 def q_text_langid(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _ts(spark, sf, "documents")  # spread: per-doc token profile match
     return (
         docs.select(tx.lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("pred_lang")
@@ -552,7 +567,7 @@ def q_text_quality(spark, sf):
 
 
 def q_text_tokens(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _ts(spark, sf, "documents")  # spread: regex token counts map-side
     return docs.groupBy("lang").agg(
         F.sum(tx.whitespace_token_count(F.col("text"))).alias("ws_tokens"),
         F.sum(tx.bpe_token_count(F.col("text"))).alias("bpe_tokens"),
@@ -721,7 +736,10 @@ def q_udtf_sentences(spark, sf):
     from logparse_spark.functions.udtfs import register_udtfs
 
     register_udtfs(spark)
-    _t(spark, sf, "documents").createOrReplaceTempView("docs_udtf")
+    # spread: the UDTF evaluates per row in Python — at input-file
+    # parallelism (single-row-group parquet) the whole LATERAL explode
+    # would run in ONE task (r7: 4.8 s serial at sf1.0)
+    _ts(spark, sf, "documents").createOrReplaceTempView("docs_udtf")
     return spark.sql("""
         SELECT d.doc_id, count(*) AS sentences,
                CAST(max(length(s.sentence)) AS BIGINT) AS max_sentence_len

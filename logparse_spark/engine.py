@@ -102,19 +102,36 @@ def parse_texts(texts: pd.Series, compiled: dict) -> dict:
     idx = texts.index
 
     # --- header parse (capture_line [R-H]): ordered format alternatives ----
+    # direct re loops over object arrays instead of pandas str.extract:
+    # extract builds a DataFrame + per-group list comprehensions per
+    # call, which profiled at ~45% of the kernel (r7); the regex work
+    # itself is identical and the semantics are pinned equal by
+    # tests/test_engine_kernel.py
     hdr_cols = ["level", "thread", "date", "source_file", "source_line", "message"]
     hdr = pd.DataFrame(index=idx, columns=hdr_cols, dtype=object)
     unmatched = np.ones(n, dtype=bool)
+    tvals = texts.to_numpy(dtype=object)
+    hdr_arrs = {c: np.full(n, None, dtype=object) for c in hdr_cols}
     for hregex in compiled["headers"]:
         if not unmatched.any():
             break
-        sub_idx = np.flatnonzero(unmatched)
-        ext = texts.iloc[sub_idx].str.extract(_pat(hregex, re.DOTALL))
-        hit = ext["level"].notna().to_numpy()
-        if hit.any():
-            hit_idx = sub_idx[hit]
-            hdr.iloc[hit_idx] = ext.loc[hit, hdr_cols].to_numpy()
-            unmatched[hit_idx] = False
+        pat = _pat(hregex, re.DOTALL)
+        names = [None] * pat.groups
+        for k, v in pat.groupindex.items():
+            names[v - 1] = k
+        level_gi = names.index("level")
+        for i in np.flatnonzero(unmatched):
+            m = pat.search(tvals[i])
+            if m is None:
+                continue
+            g = m.groups()
+            if g[level_gi] is None:  # same hit rule as extract+notna(level)
+                continue
+            for j, nm in enumerate(names):
+                hdr_arrs[nm][i] = g[j]
+            unmatched[i] = False
+    for c in hdr_cols:
+        hdr[c] = hdr_arrs[c]
     header_ok = ~unmatched
 
     # message first-line vs continuation (parse_log fold [R-H]: one row ==
@@ -136,28 +153,42 @@ def parse_texts(texts: pd.Series, compiled: dict) -> dict:
     promoted = {c: np.full(n, None, dtype=object) for c, _ in PROMOTED_COLUMNS}
 
     cls_values = class_stem.to_numpy(dtype=object)
+    mvals = message.to_numpy(dtype=object)
     for cls, rules in compiled["by_class"].items():
         remaining = (cls_values == cls) & header_ok
         if not remaining.any():
             continue
+        rem_idx = np.flatnonzero(remaining)
         for rule in rules:
-            sub_idx = np.flatnonzero(remaining)
-            if sub_idx.size == 0:
+            if rem_idx.size == 0:
                 break
-            sub = message.iloc[sub_idx]
+            pat = _pat(rule["regex"])
             if rule["groups"]:
-                ext = sub.str.extract(_pat(rule["regex"]))
-                hit = ext.notna().all(axis=1).to_numpy()
-            else:
-                hit = sub.str.match(_pat(rule["regex"])).to_numpy()
-                ext = None
-            if not hit.any():
-                continue
-            hit_idx = sub_idx[hit]
-            rule_id[hit_idx] = rule["rule_id"]
-            family[hit_idx] = rule["family"]
-            if ext is not None:
-                matched = _convert_columns(ext.loc[hit].copy(), rule["converters"])
+                # direct search loop == str.extract + notna().all(axis=1):
+                # a hit is a match with NO unmatched optional group
+                names = [None] * pat.groups
+                for k, v in pat.groupindex.items():
+                    names[v - 1] = k
+                hit_list: list[int] = []
+                gcols: list[list] = [[] for _ in names]
+                miss_list: list[int] = []
+                for i in rem_idx:
+                    m = pat.search(mvals[i])
+                    if m is not None:
+                        g = m.groups()
+                        if None not in g:
+                            hit_list.append(i)
+                            for j, v in enumerate(g):
+                                gcols[j].append(v)
+                            continue
+                    miss_list.append(i)
+                if not hit_list:
+                    continue
+                hit_idx = np.array(hit_list, dtype=np.int64)
+                matched = pd.DataFrame(
+                    {nm: pd.Series(col, dtype=object) for nm, col in zip(names, gcols)}
+                )
+                matched = _convert_columns(matched, rule["converters"])
                 for fname, col in rule["promote"].items():
                     nums = pd.to_numeric(matched[fname], errors="coerce")
                     promoted[col][hit_idx] = [
@@ -171,7 +202,19 @@ def parse_texts(texts: pd.Series, compiled: dict) -> dict:
                     fields[i] = {
                         k: a[j] for k, a in zip(mcols, marrs) if isinstance(a[j], str)
                     }
-            remaining[hit_idx] = False
+            else:
+                hit_list, miss_list = [], []
+                for i in rem_idx:
+                    if pat.match(mvals[i]) is not None:  # str.match semantics
+                        hit_list.append(i)
+                    else:
+                        miss_list.append(i)
+                if not hit_list:
+                    continue
+                hit_idx = np.array(hit_list, dtype=np.int64)
+            rule_id[hit_idx] = rule["rule_id"]
+            family[hit_idx] = rule["family"]
+            rem_idx = np.array(miss_list, dtype=np.int64)
 
     return {
         "level": hdr["level"],

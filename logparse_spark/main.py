@@ -203,13 +203,35 @@ def run_pipeline(
             metrics = {"routed_rows": 0, "total_tokens": 0,
                        "unknown_rows": 0, "families": 0}
 
-        if metric_src is None:
-            # narrow mode: one extra parse pass fills a tiny projection
-            # cache instead of spilling full rows to disk
-            metric_src = enriched.select(
-                "doc_id", "source", "bucket", "family", "rule_id", "level",
-                "n_tok", "duration_ms", "bytes_in", "bytes_out", "count",
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+        narrow_cols = [
+            "doc_id", "source", "bucket", "family", "rule_id", "level",
+            "n_tok", "duration_ms", "bytes_in", "bytes_out", "count",
+        ]
+        if metric_src is None and not resume and metrics.get("routed_rows"):
+            # narrow mode, FRESH full run: the sinks just written ARE the
+            # enriched rows, so the metric pass re-reads them column-
+            # pruned (the heavy tokens/message/fields columns never leave
+            # parquet) instead of RE-PARSING the whole corpus through the
+            # Python engine a second time.  Measured at the 20M-row
+            # sf1.0 bench: the re-parse metric pass was 68-70 s of the
+            # 190 s wall; the pruned read-back is seconds.  This is also
+            # the 100 TB design (re-read the committed table; at scale
+            # the listing is metadata-cheap under Iceberg).  Resumed
+            # runs keep the re-parse: their sinks contain PRIOR runs'
+            # partitions too, and metrics must cover only this run's
+            # pending rows.
+            metric_src = (
+                spark.read.option("basePath", f"{out}/sinks")
+                .parquet(f"{out}/sinks")
+                .select(*narrow_cols)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        elif metric_src is None:
+            # narrow mode on a resumed run: one extra parse pass fills a
+            # tiny projection cache instead of spilling full rows to disk
+            metric_src = enriched.select(*narrow_cols).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
 
         t_metrics = time.time()
         grain = grain_counts(metric_src).cache()

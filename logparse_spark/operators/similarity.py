@@ -21,6 +21,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Projection of `cols`, repartitioned iff the input under-splits the
+    cluster — the similarity twin of dedup._spread_text.  Every operator
+    here runs a CPU-heavy per-row kernel (GEMM batches, interpreted
+    higher-order cosine) directly over the corpus scan; a small corpus
+    in one parquet row group executes that kernel in ONE task (measured
+    at sf1.0: q_embed_neardup's whole 20k x 20k GEMM + threshold pass ran
+    serially, ~27 s).  The repartition shuffles only the projected
+    columns, and only when the input is a direct under-split file scan;
+    large inputs arriving in >= cores/2 splits pass through untouched
+    (no extra Exchange at 100 TB)."""
+    from logparse_spark.operators.dedup import _is_direct_file_scan
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    narrow = df.select(*cols)
+    if _is_direct_file_scan(df) and narrow.rdd.getNumPartitions() < max(2, par // 2):
+        narrow = narrow.repartition(par)
+    return narrow
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
 
@@ -47,7 +67,12 @@ def brute_force_topk(
     rows after per-partition ranking.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # _spread: the per-row cosine (interpreted zip_with/aggregate) x
+    # n_queries is the stage's whole cost — never run it at input-file
+    # parallelism (one row group = one serial task)
+    c = _spread(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
     )
@@ -85,6 +110,13 @@ def all_pairs_cosine_gemm(
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(matn)
 
+    # np.round(x, 4) >= t can only hold when x >= t - 0.5e-4 (minus fp
+    # slack): pre-filter with a safely-lower cut so the exact round is
+    # evaluated on survivors only.  Rounding the FULL sims matrix costs
+    # a second (n_batch x n) float64 allocation + pass — measured 15.5 s
+    # vs 1.3 s per 10k-row batch at sf1.0 (20k vectors), identical pairs.
+    pre_cut = min_cosine - 1.5 * 10.0 ** (-round_to)
+
     def fn(batches):
         all_ids, all_mat = b_ids.value, b_mat.value
         for pdf in batches:
@@ -95,12 +127,16 @@ def all_pairs_cosine_gemm(
             qn[qn == 0] = 1.0
             sims = (q / qn[:, None]) @ all_mat.T
             qa = pdf[id_col].to_numpy(dtype=np.int64)
-            r, c = np.where(np.round(sims, round_to) >= min_cosine)
+            r, c = np.where(sims >= pre_cut)
+            keep = np.round(sims[r, c], round_to) >= min_cosine
+            r, c = r[keep], c[keep]
             ia, ib = qa[r], all_ids[c]
             keep = ia < ib
             yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
 
-    return df.mapInPandas(fn, "id_a long, id_b long")
+    # _spread: one 5-7 MB single-row-group parquet file would run every
+    # GEMM batch in ONE task (measured 27 s serial at sf1.0)
+    return _spread(df, id_col, vec_col).mapInPandas(fn, "id_a long, id_b long")
 
 
 def all_pairs_cosine(
@@ -241,9 +277,13 @@ def ivf_topk(
     # DOUBLE[] SQL oracle (float32 partial sums drift)
     cents = pick_centroids(corpus, n_centroids, vec_col, id_col)
     lit_cents = centroid_literal(cents.collect())  # ONE collect, ONE expr
+    # _spread: the corpus-side centroid assignment (n_centroids x dim
+    # interpreted cosine per row) and the post-probe exact cosine are
+    # the stage's cost — don't run them at input-file parallelism
     c_assigned = assign_centroid(
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("cv")),
+        _spread(corpus, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv")),
         cents, "cv", rank=1, lit_cents=lit_cents)
     q_assigned = assign_centroid(
         queries.select(F.col(id_col).alias("query_id"),

@@ -54,6 +54,22 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # JVM<->Python-worker channel over a UNIX domain socket instead
+        # of loopback TCP (Spark 4.1 feature, default off).  Worker
+        # links are same-host by construction on any deployment, so UDS
+        # is cluster-neutral; it removes TCP congestion control from a
+        # kernel-internal pipe.  Measured need, r7: with the host's
+        # loopback under bbr, the arrow parse stage repeatedly WEDGED
+        # mid-task — worker blocked in tcp_sendmsg (sk_stream_wait_
+        # memory), JVM reader epolling with a 33 MB full receive queue,
+        # rto backed off to 104 s (cwnd:1, backoff:9, lost segments on
+        # lo) — a bidirectional flow-control stall that UDS cannot
+        # enter (no cwnd, no retransmission on AF_UNIX).  Two full
+        # 20M-row pipeline runs hung at the same shape without it; with
+        # it, repeated runs complete.  SPARK_GRAFT_PY_UDS=0 restores
+        # TCP for A/B.
+        .config("spark.python.unix.domain.socket.enabled",
+                os.environ.get("SPARK_GRAFT_PY_UDS", "1") != "0" and "true" or "false")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -329,3 +329,70 @@ def test_spread_text_leaves_well_split_input_alone(spark):
     def n_repart(df):
         return df._jdf.queryExecution().optimizedPlan().toString().count("Repartition")
     assert n_repart(spread) == n_repart(many) == 1
+
+
+def test_minhash_signature_kernel_matches_plain_reference(spark):
+    """r7 kernel rewrite (factorize-unique + chunked Mersenne reduction +
+    per-doc min) must be BIT-IDENTICAL to the plain (hash*a+b) % M
+    reference on edge-shaped inputs: empty text, single word, repeated
+    templates (exercises the factorize dedup), whitespace quirks."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    texts = [
+        "",
+        "one",
+        "two words",
+        "\tleading tab  and   runs of spaces",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact repeat
+        "the quick brown fox jumps over the lazy cat",  # near repeat
+        " ".join(["template line alpha beta"] * 10),
+    ]
+    num_hashes, shingle_n, seed = 16, 3, 42
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in df.select(
+            "doc_id", dd.minhash_signature_np("text", num_hashes, shingle_n, seed).alias("sig")
+        ).collect()
+    }
+
+    # plain reference: same shingling, hash*a+b % M with numpy's own %
+    import re as _re
+
+    M = np.uint64((1 << 31) - 1)
+    rnd = random.Random(seed)
+    a = np.array([rnd.randrange(1, int(M)) for _ in range(num_hashes)], dtype=np.uint64)
+    b = np.array([rnd.randrange(0, int(M)) for _ in range(num_hashes)], dtype=np.uint64)
+    for i, t in enumerate(texts):
+        words = _re.split(r"\s+", str(t or "").lower().strip(" "))
+        if len(words) >= shingle_n:
+            grams = {" ".join(words[j:j + shingle_n])
+                     for j in range(len(words) - shingle_n + 1)}
+        else:
+            grams = {" ".join(words)} if words else {""}
+        hs = pd.util.hash_array(np.array(list(grams), dtype=object)) % M
+        sig = (hs[:, None] * a[None, :] + b[None, :]) % M
+        ref = sig.min(axis=0).astype(np.int64).tolist()
+        assert got[str(i)] == ref, f"doc {i}: kernel diverged from plain reference"
+
+
+def test_minhash_verify_spreads_shingles_after_join(spark):
+    """r7: minhash_near_dups computes word_shingles AFTER the candidate
+    melt-join (only candidate docs pay the HOF), and the output is
+    unchanged vs the planted ground truth regardless of partitioning."""
+    for parts in (1, 5):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dd.minhash_near_dups(
+                _docs(spark).repartition(parts), shingle_n=2, num_hashes=32,
+                bands=16, threshold=0.8,
+            ).collect()
+        }
+        assert ("d1", "d2") in pairs
+        assert ("d4", "d5") not in pairs

@@ -195,3 +195,30 @@ def test_route_clustering_mode_selection():
     assert _route_clustering(2 << 30, False) == (1, "rebalance")
     assert _route_clustering(0, False) == (2, True)
     assert _route_clustering(2 << 30, True)[1] is False
+
+
+def test_narrow_fresh_run_metrics_from_sink_readback(spark, tmp_path):
+    """r7: a FRESH narrow-mode run derives the metric tables from a
+    column-pruned read-back of the just-written sinks (no second parse
+    pass).  Every metric output must equal the full-cache mode's on the
+    same corpus."""
+    seq = generate_sequences(spark, 1200, partitions=4)
+    out_a = str(tmp_path / "narrow")
+    out_b = str(tmp_path / "full")
+    m_a = run_pipeline(spark, seq, out_a, n_buckets=2, resume=False,
+                       cache_mode="narrow")
+    m_b = run_pipeline(spark, seq, out_b, n_buckets=2, resume=False,
+                       cache_mode="full")
+    for k in ("routed_rows", "total_tokens", "unknown_rows", "families"):
+        assert m_a[k] == m_b[k]
+    for tbl in ("rule_histogram", "source_level_rollup", "family_metrics"):
+        # rollup rows contain NULL grouping cells -> sort None-safe
+        a = sorted(map(tuple, spark.read.parquet(f"{out_a}/metrics/{tbl}").collect()), key=repr)
+        b = sorted(map(tuple, spark.read.parquet(f"{out_b}/metrics/{tbl}").collect()), key=repr)
+        assert a == b, f"{tbl} diverged between sink read-back and full cache"
+    # the ledger must commit the same (source, bucket, rows) rows
+    a = sorted(map(tuple, spark.read.parquet(f"{out_a}/ledger").select(
+        "source", "bucket", "rows").collect()))
+    b = sorted(map(tuple, spark.read.parquet(f"{out_b}/ledger").select(
+        "source", "bucket", "rows").collect()))
+    assert a == b

@@ -109,3 +109,38 @@ def test_centroid_literal_rejects_empty_and_nonfinite():
     with pytest.raises(ValueError, match="non-finite"):
         sim.centroid_literal(
             [{"centroid_id": 7, "centroid": [float("inf"), 1.0]}])
+
+
+def test_gemm_prefilter_matches_full_round_near_threshold(spark):
+    """r7: the GEMM path pre-filters sims >= t - 1.5e-4 before the exact
+    np.round check.  Vectors engineered so cosines straddle the 4-decimal
+    rounding boundary must produce exactly the pairs of a full-matrix
+    round reference."""
+    import math
+
+    import numpy as np
+
+    min_cos, round_to = 0.3, 4
+    rows = []
+    # pairs of unit vectors at angle acos(c) for cosines bracketing the
+    # round boundary: 0.29990, 0.29994, 0.29995, 0.29996, 0.3, 0.30004
+    for k, c in enumerate([0.2999, 0.29994, 0.29995, 0.29996, 0.3, 0.30004]):
+        th = math.acos(c)
+        va = [1.0, 0.0] + [0.0] * 6
+        vb = [math.cos(th), math.sin(th)] + [0.0] * 6
+        rows.append((2 * k, va))
+        rows.append((2 * k + 1, vb))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sim.all_pairs_cosine_gemm(df, min_cos, round_to=round_to).collect()
+    )
+
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    matn = mat / norms[:, None]
+    sims = matn @ matn.T
+    r, c = np.where(np.round(sims, round_to) >= min_cos)
+    ref = sorted((int(ids[i]), int(ids[j])) for i, j in zip(r, c) if ids[i] < ids[j])
+    assert got == ref
