@@ -94,8 +94,7 @@ def pipeline_bench(runs: int, sf_dir: str) -> dict:
         out = f"/tmp/lp_bx_out_{i}"
         shutil.rmtree(out, ignore_errors=True)
         os.sync()
-        if i == 1:
-            _settle()
+        probe = _settle() if i >= 1 else host_probe()
         t0 = time.time()
         m = run_pipeline(spark, seq, out, n_buckets=None, resume=False,
                          input_clustered=False)
@@ -105,6 +104,7 @@ def pipeline_bench(runs: int, sf_dir: str) -> dict:
             "metrics_sec": m.get("metrics_sec"),
             "rows": int(m["routed_rows"]),
             "warmup": i == 0,
+            "pre_probe": probe,
         })
     spark.stop()
     timed = [x["wall"] for x in legs if not x["warmup"]]

@@ -187,6 +187,7 @@ def run_pipeline(
         metric_src = None  # built after the route action
 
     timings: dict[str, float] = {}
+    readback_split_override = None  # set iff the metric read-back widens splits
     try:
         t_route = time.time()
         # fresh full runs (resume off) take the cheaper static-overwrite
@@ -220,6 +221,16 @@ def run_pipeline(
             # runs keep the re-parse: their sinks contain PRIOR runs'
             # partitions too, and metrics must cover only this run's
             # pending rows.
+            # the sink tree is many small per-dir files (the write-side
+            # file-count discipline), so the default split size shreds
+            # the read-back into thousands of open-cost-padded tasks
+            # (measured: 2,582 splits over ~1,300 files at the 20M-row
+            # bench; ~3 scheduling-bound passes).  Widen splits for the
+            # metric phase only — restored in the finally block below.
+            readback_split_override = spark.conf.get(
+                "spark.sql.files.maxPartitionBytes")
+            spark.conf.set("spark.sql.files.maxPartitionBytes",
+                           str(256 << 20))
             metric_src = (
                 spark.read.option("basePath", f"{out}/sinks")
                 .parquet(f"{out}/sinks")
@@ -248,6 +259,9 @@ def run_pipeline(
         if metric_src is not None:
             metric_src.unpersist()
         enriched.unpersist()
+        if readback_split_override is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes",
+                           readback_split_override)
 
     metrics["wall_sec"] = time.time() - t0
     metrics["run_id"] = run_id

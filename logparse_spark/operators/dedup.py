@@ -205,10 +205,9 @@ def minhash_lsh_candidates(
     """
     banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n, seed, impl)
     if max_bucket is not None:
-        # window count over the SAME shuffle the self-join needs: the two
-        # join sides then share one Exchange (ReusedExchange), so the
-        # expensive signature UDF subtree evaluates ONCE — a groupBy-and-
-        # join-back sizes table would force a second full evaluation
+        # window count over the SAME shuffle the self-join needs, so the
+        # cap never forces an extra full evaluation of the signature
+        # subtree (a groupBy-and-join-back sizes table would)
         from pyspark.sql import Window
 
         w = Window.partitionBy("band", "band_hash")
@@ -217,6 +216,15 @@ def minhash_lsh_candidates(
             .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
+    # materialize the banded table before the self-join: the planner
+    # otherwise evaluates the signature-UDF subtree ONCE PER JOIN SIDE
+    # (r7 plan audit: two ArrowEvalPython nodes — AQE broadcast-joins
+    # the small banded side, and a broadcast build cannot reuse the
+    # other side's shuffle Exchange).  localCheckpoint is per-invocation
+    # state (plan-keyed cache reuse across runs would be result
+    # caching); the table is (id, band, band_hash) — tens of bytes per
+    # doc-band, never the text.
+    banded = banded.localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -400,8 +408,17 @@ def minhash_near_dups(
         F.struct(F.col("id_a"), F.col("id_b")).alias("pid"),
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
     )
+    par = df.sparkSession.sparkContext.defaultParallelism
     pairs = (
         txt.join(melted, "id")
+        # explicit repartition before the shingle HOF: the join output
+        # inherits the candidate side's partitioning, which AQE has
+        # usually coalesced to ~1 partition (bytes-tiny), putting the
+        # whole interpreted shingle expression back on one task (r7
+        # measured: 6.6 s of the verify stage).  A user-specified
+        # partition count is exempt from AQE coalescing; the shuffle
+        # moves only candidate-pair texts.
+        .repartition(par)
         .select("pid", word_shingles(F.col("_t"), shingle_n).alias("sh"))
         .groupBy("pid")
         .agg(F.collect_list("sh").alias("shs"))
@@ -438,7 +455,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
+    ).localCheckpoint()  # shingle HOF would otherwise run once per join side
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
@@ -666,6 +683,11 @@ def simhash_near_dups(
     else:
         s = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
         width = 16
+    # materialize before the chunk self-join: both sides otherwise
+    # re-evaluate the full 60-counter bitsum aggregation (one subtree
+    # per side in the physical plan — see minhash_lsh_candidates).
+    # (id, sh) is 16 bytes/doc.
+    s = s.localCheckpoint()
     mask = (1 << width) - 1
     chunks = s.select(
         "id", "sh",
@@ -736,8 +758,10 @@ def embedding_near_dups(
     """
     planes = lsh_planes(dim, n_planes, seed)
     # double math end-to-end: float32 sums drift from a DOUBLE[] oracle
-    # and from the float64 GEMM path
-    vec = F.col(vec_col).cast("array<double>")
+    # and from the float64 GEMM path.  _spread_text: the plane dots are
+    # per-row interpreted HOFs — never at input-file parallelism.
+    narrow = _spread_text(df, id_col, vec_col)
+    vec = F.col("_t").cast("array<double>")
     # one F.expr per plane, not one F.lit per scalar: per-literal py4j
     # round-trips are serial DRIVER time (~0.5 s for 12x64 here; see
     # similarity.centroid_literal for the measurement); repr round-trips
@@ -753,7 +777,9 @@ def embedding_near_dups(
         for i, pc in enumerate(plane_cols)
     ]
     bucket = sum(bits[1:], bits[0]).alias("bucket")
-    v = df.select(F.col(id_col).alias("id"), vec.alias("v"), bucket)
+    # materialize before the bucket self-join: the n_planes interpreted
+    # dot products per row otherwise evaluate once per join side
+    v = narrow.select(F.col("id"), vec.alias("v"), bucket).localCheckpoint()
     a, b = v.alias("a"), v.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
     if round_to is not None:
