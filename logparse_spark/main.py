@@ -134,6 +134,24 @@ def run_pipeline(
     scan_bytes = _input_bytes(sequences_df)
     if n_buckets is None:
         n_buckets = resolve_n_buckets(scan_bytes, out)
+    else:
+        # ADVICE r6 (medium): an explicit n_buckets that contradicts the
+        # count persisted for this output dir would recompute pending
+        # against a different key space than the committed ledger rows —
+        # silent duplicate/skipped partitions on resume.  Refuse loudly;
+        # explicit callers on fresh dirs are unaffected.
+        meta_path = os.path.join(out, "ledger", "_meta.json")
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                persisted = int(json.load(f)["n_buckets"])
+            if persisted != n_buckets:
+                raise ValueError(
+                    f"n_buckets={n_buckets} conflicts with the bucket count "
+                    f"persisted for this output dir ({persisted}, "
+                    f"{meta_path}); the ledger resume key space must stay "
+                    "stable per output - pass n_buckets=None to reuse it, "
+                    "or write to a fresh output dir"
+                )
     df = with_bucket(sequences_df, n_buckets)
     ledger = Ledger(spark, f"{out}/ledger")
     if resume:

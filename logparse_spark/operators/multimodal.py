@@ -187,6 +187,8 @@ def decode_png(payload: bytes) -> dict:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk CRC mismatch ({ctype!r})")
         if ctype == b"IHDR":
+            if len(data) != 13:  # ADVICE r6: keep the ValueError contract
+                raise ValueError(f"bad IHDR length {len(data)} (expected 13)")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat += data
@@ -202,6 +204,14 @@ def decode_png(payload: bytes) -> dict:
             f"interlace={interlace}); 8-bit RGB non-interlaced only")
     if w == 0 or h == 0:
         raise ValueError(f"unsupported PNG dimensions (w={w}, h={h})")
+    # Average/Paeth reversal is a sequential per-byte recurrence (each
+    # byte depends on the reconstructed left neighbour), so decode cost
+    # is strictly linear but interpreter-bound: ~0.5 us/byte on the
+    # scalar path below.  Bound the work so a crafted IHDR can't pin a
+    # task for minutes (64 MP ~= 100 s worst case).
+    if w * h > 64_000_000:
+        raise ValueError(
+            f"PNG too large ({w}x{h} = {w * h} px; decoder cap 64 MP)")
     bpp, stride = 3, w * 3
     # cap inflation at the IHDR-declared size: a mismatched (or crafted)
     # stream fails the exact-length check instead of ballooning memory
@@ -213,7 +223,6 @@ def decode_png(payload: bytes) -> dict:
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes, rows = arr[:, 0], arr[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
-    zeros3 = np.zeros(bpp, dtype=np.int32)
     for r in range(h):
         f, cur = int(ftypes[r]), rows[r]
         prior = out[r - 1] if r else np.zeros(stride, dtype=np.int32)
@@ -225,25 +234,28 @@ def decode_png(payload: bytes) -> dict:
             rec = cur.copy()
             for lane in range(bpp):
                 rec[lane::bpp] = np.cumsum(cur[lane::bpp], dtype=np.int64) % 256
-        elif f == 3:  # Average
-            rec = np.empty(stride, dtype=np.int32)
-            for px in range(w):
-                i = px * bpp
-                left = rec[i - bpp:i] if px else zeros3
-                rec[i:i + bpp] = (cur[i:i + bpp]
-                                  + (left + prior[i:i + bpp]) // 2) % 256
-        elif f == 4:  # Paeth
-            rec = np.empty(stride, dtype=np.int32)
-            for px in range(w):
-                i = px * bpp
-                a = rec[i - bpp:i] if px else zeros3
-                b = prior[i:i + bpp]
-                c = prior[i - bpp:i] if px else zeros3
+        elif f == 3:  # Average (sequential: scalar ints, not 3-wide numpy
+            # temps per pixel — ~10 array allocs/px profiled 5-10x slower
+            # than this loop; values are non-negative so //2 == >>1 and
+            # %256 == &255, elementwise identical to the spec formula)
+            curl, priorl = cur.tolist(), prior.tolist()
+            rec_l = [0] * stride
+            for i in range(stride):
+                left = rec_l[i - bpp] if i >= bpp else 0
+                rec_l[i] = (curl[i] + ((left + priorl[i]) >> 1)) & 255
+            rec = np.array(rec_l, dtype=np.int32)
+        elif f == 4:  # Paeth (same scalar-loop treatment)
+            curl, priorl = cur.tolist(), prior.tolist()
+            rec_l = [0] * stride
+            for i in range(stride):
+                a = rec_l[i - bpp] if i >= bpp else 0
+                b = priorl[i]
+                c = priorl[i - bpp] if i >= bpp else 0
                 p = a + b - c
-                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                pred = np.where((pa <= pb) & (pa <= pc), a,
-                                np.where(pb <= pc, b, c))
-                rec[i:i + bpp] = (cur[i:i + bpp] + pred) % 256
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec_l[i] = (curl[i] + pred) & 255
+            rec = np.array(rec_l, dtype=np.int32)
         else:
             raise ValueError(f"bad PNG filter type {f}")
         out[r] = rec

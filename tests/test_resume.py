@@ -104,3 +104,26 @@ def test_auto_n_buckets_resolution(spark, tmp_path):
         assert _json.load(f)["n_buckets"] == 1
     m2 = run_pipeline(spark, seq, out5, n_buckets=None, resume=True)
     assert m2["routed_rows"] == 0  # ledger keys consistent -> no-op
+
+
+def test_explicit_n_buckets_conflict_with_persisted_meta_raises(spark, tmp_path):
+    """ADVICE r6: an explicit n_buckets contradicting the count persisted
+    in <out>/ledger/_meta.json must refuse loudly (mismatched resume key
+    spaces duplicate or skip partitions)."""
+    import pytest as _pytest
+
+    from logparse_spark.main import run_pipeline
+    from logparse_spark.sources.datagen import generate_sequences
+
+    import json as _json
+    import os as _os
+
+    out = str(tmp_path / "o")
+    seq = generate_sequences(spark, 300, partitions=2)
+    run_pipeline(spark, seq, out, n_buckets=None, resume=False)  # persists meta
+    with open(_os.path.join(out, "ledger", "_meta.json")) as f:
+        persisted = int(_json.load(f)["n_buckets"])
+    with _pytest.raises(ValueError, match="conflicts with the bucket count"):
+        run_pipeline(spark, seq, out, n_buckets=persisted + 1, resume=True)
+    # same explicit value as persisted: fine
+    run_pipeline(spark, seq, out, n_buckets=persisted, resume=True)
