@@ -63,18 +63,28 @@ def _pat(regex: str, flags: int = 0) -> re.Pattern:
     return p
 
 
-def _convert_columns(ext: pd.DataFrame, converters: dict[str, str]) -> pd.DataFrame:
-    """Vectorized canonical conversion (rules.py §convert [R-H])."""
+def _convert_columns(ext: dict[str, list], converters: dict[str, str]) -> dict:
+    """Vectorized canonical conversion (rules.py §convert [R-H]).
+
+    Operates on plain lists/ndarrays of captured strings (never None —
+    the hit criterion requires every group matched); numpy parses the
+    int64/float64 exactly like the former pandas astype (same C paths,
+    same OverflowError on out-of-range), without per-rule Series/block
+    construction (~9% of the kernel).
+    """
     for fname, conv in converters.items():
-        col = ext[fname]
+        vals = ext[fname]
         if conv == "int":
-            ext[fname] = col.astype("int64").astype(str)
+            ext[fname] = np.array(vals, dtype=np.int64).astype(str).astype(object)
         elif conv == "comma_int":
-            ext[fname] = col.str.replace(",", "", regex=False).astype("int64").astype(str)
+            iv = np.array([s.replace(",", "") for s in vals], dtype=np.int64)
+            ext[fname] = iv.astype(str).astype(object)
         elif conv == "float":
-            ext[fname] = col.astype("float64").map(lambda v: str(v))
+            fv = np.array(vals, dtype=np.float64)
+            # str over np.float64 scalars == the former .map(str) output
+            ext[fname] = np.array([str(v) for v in fv], dtype=object)
         else:  # pragma: no cover - unknown converter kept as-is
-            ext[fname] = col
+            ext[fname] = vals
     return ext
 
 
@@ -135,14 +145,33 @@ def parse_texts(texts: pd.Series, compiled: dict) -> dict:
     header_ok = ~unmatched
 
     # message first-line vs continuation (parse_log fold [R-H]: one row ==
-    # one pre-folded event; continuation lines go to `extra`)
+    # one pre-folded event; continuation lines go to `extra`) — plain
+    # str.partition loop: same values as str.split(n=1, expand=True)
+    # without the intermediate DataFrame build
     msg_full = hdr["message"].where(header_ok, texts)
-    split = msg_full.str.split("\n", n=1, expand=True)
-    message = split[0]
-    extra_str = split[1] if split.shape[1] > 1 else pd.Series([None] * n, index=idx)
-    extra = extra_str.map(lambda s: s.split("\n") if isinstance(s, str) else None)
+    msg_arr = np.full(n, None, dtype=object)
+    extra_arr = np.full(n, None, dtype=object)
+    for i, s in enumerate(msg_full.to_numpy(dtype=object)):
+        if isinstance(s, str):
+            head, sep, rest = s.partition("\n")
+            msg_arr[i] = head
+            if sep:
+                extra_arr[i] = rest.split("\n")
+    message = pd.Series(msg_arr, index=idx)
+    extra = pd.Series(extra_arr, index=idx)
 
-    thr = hdr["thread"].str.extract(_pat(r"^(?P<thread_name>.*?)(?::(?P<thread_id>\d+))?$"))
+    # thread "name[:id]" — direct search loop, same regex as the former
+    # str.extract (kills the per-call DataFrame build, not the regex)
+    thr_pat = _pat(r"^(?P<thread_name>.*?)(?::(?P<thread_id>\d+))?$")
+    tn_arr = np.full(n, None, dtype=object)
+    ti_arr = np.full(n, None, dtype=object)
+    for i, s in enumerate(hdr["thread"].to_numpy(dtype=object)):
+        if isinstance(s, str):
+            m = thr_pat.search(s)
+            if m is not None:
+                tn_arr[i], ti_arr[i] = m.group(1), m.group(2)
+    thr = {"thread_name": pd.Series(tn_arr, index=idx),
+           "thread_id": pd.Series(ti_arr, index=idx)}
     ts = pd.to_datetime(hdr["date"], format=DATE_FORMAT, errors="coerce")
     class_stem = hdr["source_file"].str.replace(".java", "", regex=False)
 
@@ -185,19 +214,18 @@ def parse_texts(texts: pd.Series, compiled: dict) -> dict:
                 if not hit_list:
                     continue
                 hit_idx = np.array(hit_list, dtype=np.int64)
-                matched = pd.DataFrame(
-                    {nm: pd.Series(col, dtype=object) for nm, col in zip(names, gcols)}
-                )
-                matched = _convert_columns(matched, rule["converters"])
+                matched = _convert_columns(
+                    dict(zip(names, gcols)), rule["converters"])
                 for fname, col in rule["promote"].items():
-                    nums = pd.to_numeric(matched[fname], errors="coerce")
+                    nums = pd.to_numeric(
+                        pd.Series(matched[fname], dtype=object), errors="coerce")
                     promoted[col][hit_idx] = [
                         int(v) if pd.notna(v) else None for v in nums
                     ]
                 # zip over object columns: same result as to_dict('records')
                 # without pandas' per-cell boxing (measured ~15% of kernel)
-                mcols = list(matched.columns)
-                marrs = [matched[c].to_numpy(dtype=object) for c in mcols]
+                mcols = list(matched)
+                marrs = [np.asarray(matched[c], dtype=object) for c in mcols]
                 for j, i in enumerate(hit_idx):
                     fields[i] = {
                         k: a[j] for k, a in zip(mcols, marrs) if isinstance(a[j], str)

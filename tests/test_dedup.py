@@ -396,3 +396,35 @@ def test_minhash_verify_spreads_shingles_after_join(spark):
         }
         assert ("d1", "d2") in pairs
         assert ("d4", "d5") not in pairs
+
+
+def test_jaccard_mask_path_matches_array_path(spark):
+    """The bitmask fast path (vocab <= max_mask_words) must produce the
+    EXACT pair set and jaccard doubles of the array_intersect path, on a
+    corpus with duplicate words, threshold-straddling overlaps, an empty
+    text, shared blocks, and >64 distinct words (multi-lane masks)."""
+    import random
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(90)]  # 2 mask lanes
+    rows = []
+    for i in range(60):
+        k = rnd.randint(1, 25)
+        words = [rnd.choice(vocab) for _ in range(k)]  # dup words likely
+        if rnd.random() < 0.4 and len(rows) >= 3:  # plant same-block near-dups
+            prev = rows[-3][1].split()  # -3 => same i % 3 block
+            words = prev[: max(1, len(prev) - 2)] + words[:2]
+        rows.append((f"d{i}", " ".join(words), f"b{i % 3}"))
+    rows.append(("empty", "", "b0"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    kw = dict(text_col="text", id_col="doc_id", block_col="lang",
+              shingle_n=1, threshold=0.4)
+    fast = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                  dd.ngram_jaccard_pairs(docs, **kw).collect())
+    slow = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                  dd.ngram_jaccard_pairs(docs, max_mask_words=0, **kw).collect())
+    assert fast == slow and len(fast) > 0
+    # over-cap vocab falls back to the array path (still identical)
+    capped = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                    dd.ngram_jaccard_pairs(docs, max_mask_words=8, **kw).collect())
+    assert capped == slow
